@@ -1,0 +1,345 @@
+"""The KNP (concentration) block system, matrix-free and ion-batched.
+
+TPU-native equivalent of the reference's knpWeakForm.py: for every
+subdomain s and every solved ion k (the last ion is eliminated,
+knpWeakForm.py:53), one implicit-Euler advection-diffusion equation
+
+    (1/dt) int u v + int D_k grad(u).grad(v)
+                   + z_k psi int D_k u grad(phi_s).grad(v)        (LHS)
+  =
+    (1/dt) int c_prev v  [+ sources]  [+ membrane Robin/coupling terms]
+
+The LHS (knpWeakForm.py:123-143) contains **no interface terms**: the
+block system is block-diagonal over (subdomain, ion), so the framework
+solves the ion systems of one subdomain *batched with vmap* — a TPU-first
+restructuring of the reference's single MatNest GMRES solve (the linear
+algebra is equivalent; the preconditioned iterations differ but both sides
+converge to rtol).
+
+The membrane Robin terms (knpWeakForm.py:146-216) carry nonlinear
+coefficients built from traces of the previous concentrations:
+
+    alpha_r = D_r z^2 c_r / sum_l D_l z_l^2 c_l     (transference number)
+    C_r     = alpha_r C_M / (F z dt)
+    g_e     = phi_M - dt/(C_M alpha_e) I_ch_k + (dt/C_M) I_ch   (splitting)
+
+integrated with facet quadrature (coefficients evaluated pointwise at
+quadrature points from the two-sided P1 traces).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kernels as K
+from ..ops.geometry import DiscreteGeometry
+from .types import Ion, PhysicalParams
+
+
+@dataclasses.dataclass
+class KNPMMSData:
+    """Manufactured-solution data (knpWeakForm.py:219-271).
+
+    In the reference's MMS test the potential entering the drift and the
+    interface coupling is the *exact* phi (run_mms.py:444-445), coupling
+    coefficients are constants C=1, and the Robin data g is analytic.
+    """
+
+    # per tag: (N_solved, n_cells, nq) ion sources f_k
+    f_k_q: Dict[int, np.ndarray]
+    cell_bary: np.ndarray
+    cell_qw: np.ndarray
+    # per tag: (n_cells, nq, dim) exact grad(phi) for the drift term
+    gradphi_q: Dict[int, np.ndarray]
+    # per membrane tag: (N_solved, nf, nq) robin data per side
+    g_robin_e_q: Dict[int, np.ndarray]
+    g_robin_i_q: Dict[int, np.ndarray]
+    # per membrane tag: (nf, nq) exact phi_i - phi_e at facet quad points
+    dphi_q: Dict[int, np.ndarray]
+    facet_bary: np.ndarray
+    facet_qw: np.ndarray
+    # per boundary tag: (N_solved, nf, nq) Neumann -J_k_e . n on the whole
+    # exterior boundary (knpWeakForm.py:269)
+    neumann_q: Dict[int, np.ndarray]
+    # coupling constants C_r (=1 in the reference MMS)
+    C_e: float = 1.0
+    C_i: float = 1.0
+
+
+class KNPSystem:
+    def __init__(
+        self,
+        geom: DiscreteGeometry,
+        ions: List[Ion],
+        params: PhysicalParams,
+        splitting_scheme: bool = True,
+        mms: Optional[KNPMMSData] = None,
+    ):
+        self.geom = geom
+        self.ions = ions
+        self.params = params
+        self.splitting_scheme = splitting_scheme and mms is None
+        self.mms = mms
+        self.tags = geom.sub_tags
+        self.n_solved = len(ions) - 1
+
+        self.sub = {
+            t: dict(
+                cells=jnp.asarray(s.cells),
+                grads=jnp.asarray(s.grads),
+                vols=jnp.asarray(s.vols),
+                n_dofs=s.n_dofs,
+            )
+            for t, s in geom.subdomains.items()
+        }
+        self.mem = {
+            m: dict(
+                facet_dofs=jnp.asarray(sp.facet_dofs),
+                facet_edofs=jnp.asarray(sp.facet_edofs),
+                facet_idofs=jnp.asarray(sp.facet_idofs),
+                areas=jnp.asarray(sp.areas),
+                cell_tag=sp.cell_tag,
+            )
+            for m, sp in geom.membranes.items()
+        }
+        # per-tag per-ion coefficient vectors (N_solved,) and all-ion (N,)
+        self.z_solved = jnp.asarray([ion.z for ion in ions[:-1]])
+        self.z_all = jnp.asarray([ion.z for ion in ions])
+        self.D = {
+            t: jnp.asarray([ion.D[t] for ion in ions[:-1]]) for t in self.tags
+        }
+        self.D_all = {
+            t: jnp.asarray([ion.D[t] for ion in ions]) for t in self.tags
+        }
+
+    # ------------------------------------------------------------------
+    def gradphi_cells(self, phi: Dict[int, jnp.ndarray]) -> Dict[int, jnp.ndarray]:
+        return {
+            t: K.cell_gradients(phi[t], self.sub[t]["cells"], self.sub[t]["grads"])
+            for t in self.tags
+        }
+
+    def matvec(self, tag: int, X: jnp.ndarray, gradphi_cell: jnp.ndarray):
+        """Batched LHS action for one subdomain: X (N_solved, n) -> (N_solved, n).
+
+        For MMS, gradphi_cell is ignored and the exact-phi quadrature drift
+        is used instead.
+        """
+        s = self.sub[tag]
+        dt, psi = self.params.dt, self.params.psi
+
+        if self.mms is not None:
+            w_q = jnp.asarray(self.mms.gradphi_q[tag])
+            bary = jnp.asarray(self.mms.cell_bary)
+            qw = jnp.asarray(self.mms.cell_qw)
+
+            def one(x, D, z):
+                y = K.mass_apply(s["n_dofs"], x, s["cells"], s["vols"], 1.0 / dt)
+                y += K.stiffness_apply(
+                    s["n_dofs"], x, s["cells"], s["grads"], s["vols"], coef_cell=D
+                )
+                y += K.drift_apply_quad(
+                    s["n_dofs"], x, s["cells"], s["grads"], s["vols"],
+                    w_q, bary, qw, coef=z * psi * D,
+                )
+                return y
+
+        else:
+
+            def one(x, D, z):
+                y = K.mass_apply(s["n_dofs"], x, s["cells"], s["vols"], 1.0 / dt)
+                y += K.stiffness_apply(
+                    s["n_dofs"], x, s["cells"], s["grads"], s["vols"], coef_cell=D
+                )
+                y += K.drift_apply(
+                    s["n_dofs"], x, s["cells"], s["grads"], s["vols"],
+                    gradphi_cell, coef=z * psi * D,
+                )
+                return y
+
+        return jax.vmap(one)(X, self.D[tag], self.z_solved)
+
+    def diag(self, tag: int, gradphi_cell: jnp.ndarray) -> jnp.ndarray:
+        """Batched Jacobi diagonal (N_solved, n)."""
+        s = self.sub[tag]
+        dt, psi = self.params.dt, self.params.psi
+        md = K.mass_diag(s["n_dofs"], s["cells"], s["vols"], 1.0 / dt)
+        sd = K.stiffness_diag(s["n_dofs"], s["cells"], s["grads"], s["vols"])
+        dd = K.drift_diag(
+            s["n_dofs"], s["cells"], s["grads"], s["vols"], gradphi_cell
+        )
+        D = self.D[tag][:, None]
+        z = self.z_solved[:, None]
+        return md[None, :] + D * sd[None, :] + z * psi * D * dd[None, :]
+
+    # ------------------------------------------------------------------
+    def _alpha_q(self, tag: int, c_traces_q: jnp.ndarray) -> jnp.ndarray:
+        """Transference numbers at facet quadrature points.
+
+        c_traces_q: (N_ions, nf, nq) traces of ALL ions from side `tag`.
+        Returns (N_solved, nf, nq): alpha_k = D_k z_k^2 c_k / sum_l D_l z_l^2 c_l
+        (knpWeakForm.py:83-100, 178-179).
+        """
+        Dz2 = self.D_all[tag] * self.z_all**2  # (N,)
+        weighted = Dz2[:, None, None] * c_traces_q
+        denom = weighted.sum(axis=0)
+        return weighted[: self.n_solved] / denom
+
+    def rhs(
+        self,
+        c: Dict[int, jnp.ndarray],
+        phi: Dict[int, jnp.ndarray],
+        phi_M: Dict[int, jnp.ndarray],
+        I_ch: Optional[Dict[int, jnp.ndarray]] = None,
+        source_gate: float | jnp.ndarray = 1.0,
+    ) -> Dict[int, jnp.ndarray]:
+        """RHS per subdomain: {tag: (N_solved, n)} (knpWeakForm.py:146-216)."""
+        p = self.params
+        dt, F, C_M = p.dt, p.F, p.C_M
+        mms = self.mms
+
+        r = {}
+        for t in self.tags:
+            s = self.sub[t]
+            # time derivative: (1/dt) c_prev
+            r_t = jax.vmap(
+                lambda x: K.mass_apply(s["n_dofs"], x, s["cells"], s["vols"], 1.0 / dt)
+            )(c[t][: self.n_solved])
+            # sources
+            if mms is not None and t in mms.f_k_q:
+                cb, cw = jnp.asarray(mms.cell_bary), jnp.asarray(mms.cell_qw)
+                r_t += jax.vmap(
+                    lambda fq: K.source_rhs_quad(
+                        s["n_dofs"], fq, s["cells"], s["vols"], cb, cw
+                    )
+                )(jnp.asarray(mms.f_k_q[t]))
+            if mms is None:
+                for k, ion in enumerate(self.ions[:-1]):
+                    if ion.f_source_q and t in ion.f_source_q:
+                        from ..ops import quadrature as quad
+
+                        cb, cw = quad.cell_rule(self.geom.dim)
+                        r_t = r_t.at[k].add(
+                            source_gate
+                            * K.source_rhs_quad(
+                                s["n_dofs"],
+                                jnp.asarray(ion.f_source_q[t]),
+                                s["cells"],
+                                s["vols"],
+                                jnp.asarray(cb),
+                                jnp.asarray(cw),
+                            )
+                        )
+            r[t] = r_t
+
+        # ---- membrane Robin + coupling terms --------------------------------
+        if mms is not None:
+            fb, fw = jnp.asarray(mms.facet_bary), jnp.asarray(mms.facet_qw)
+            for m, sp in self.mem.items():
+                ct = sp["cell_tag"]
+                dphi = jnp.asarray(mms.dphi_q[m])  # (nf, nq)
+                g_e = jnp.asarray(mms.g_robin_e_q[m])  # (Ns, nf, nq)
+                g_i = jnp.asarray(mms.g_robin_i_q[m])
+                Ce, Ci = mms.C_e, mms.C_i
+                r[0] += jax.vmap(
+                    lambda ge: K.facet_rhs_quad(
+                        self.sub[0]["n_dofs"], Ce * (dphi - ge),
+                        sp["facet_edofs"], sp["areas"], fb, fw,
+                    )
+                )(g_e)
+                r[ct] += jax.vmap(
+                    lambda gi: K.facet_rhs_quad(
+                        self.sub[ct]["n_dofs"], Ci * (gi - dphi),
+                        sp["facet_idofs"], sp["areas"], fb, fw,
+                    )
+                )(g_i)
+            # exterior Neumann (whole boundary, knpWeakForm.py:269)
+            for btag, nq in mms.neumann_q.items():
+                bs = self.geom.boundaries[btag]
+                fd = jnp.asarray(bs.facet_dofs)
+                ar = jnp.asarray(bs.areas)
+                r[bs.sub_tag] += jax.vmap(
+                    lambda jq: K.facet_rhs_quad(
+                        self.sub[bs.sub_tag]["n_dofs"], jq, fd, ar, fb, fw
+                    )
+                )(jnp.asarray(nq))
+            return r
+
+        from ..ops import quadrature as quad
+
+        fb_np, fw_np = quad.facet_rule(self.geom.dim)
+        fb, fw = jnp.asarray(fb_np), jnp.asarray(fw_np)
+        for m, sp in self.mem.items():
+            ct = sp["cell_tag"]
+            # traces of all ions at facet quadrature points, both sides
+            c_e_q = jnp.einsum("Kfk,qk->Kfq", c[0][:, sp["facet_edofs"]], fb)
+            c_i_q = jnp.einsum("Kfk,qk->Kfq", c[ct][:, sp["facet_idofs"]], fb)
+            alpha_e = self._alpha_q(0, c_e_q)  # (Ns, nf, nq)
+            alpha_i = self._alpha_q(ct, c_i_q)
+            z = self.z_solved[:, None, None]
+            C_e = alpha_e * C_M / (F * z * dt)
+            C_i = alpha_i * C_M / (F * z * dt)
+
+            phiM_q = K.trace_at_quad(phi_M[m], sp["facet_dofs"], fb)  # (nf, nq)
+            dphi_q = K.trace_at_quad(
+                phi[ct], sp["facet_idofs"], fb
+            ) - K.trace_at_quad(phi[0], sp["facet_edofs"], fb)
+
+            # channel currents on the membrane space: (N_ions, n_m)
+            Ich = I_ch[m]
+            Ich_q = jnp.einsum("Kfk,qk->Kfq", Ich[:, sp["facet_dofs"]], fb)
+            Ich_tot_q = Ich_q.sum(axis=0)  # (nf, nq)
+            Ich_k_q = Ich_q[: self.n_solved]
+
+            if self.splitting_scheme:
+                g_e = (
+                    phiM_q[None]
+                    - dt / (C_M * alpha_e) * Ich_k_q
+                    + (dt / C_M) * Ich_tot_q[None]
+                )
+                g_i = (
+                    phiM_q[None]
+                    - dt / (C_M * alpha_i) * Ich_k_q
+                    + (dt / C_M) * Ich_tot_q[None]
+                )
+            else:
+                g_e = phiM_q[None] - dt / (C_M * alpha_e) * Ich_k_q
+                g_i = phiM_q[None] - dt / (C_M * alpha_i) * Ich_k_q
+
+            r[0] += jax.vmap(
+                lambda ce, ge: K.facet_rhs_quad(
+                    self.sub[0]["n_dofs"], ce * (dphi_q - ge),
+                    sp["facet_edofs"], sp["areas"], fb, fw,
+                )
+            )(C_e, g_e)
+            r[ct] += jax.vmap(
+                lambda ci, gi: K.facet_rhs_quad(
+                    self.sub[ct]["n_dofs"], ci * (gi - dphi_q),
+                    sp["facet_idofs"], sp["areas"], fb, fw,
+                )
+            )(C_i, g_i)
+        return r
+
+
+def create_functions_knp(geom: DiscreteGeometry, ions: List[Ion], dtype=jnp.float64):
+    """Allocate concentration state {tag: zeros(N_ions, n_dofs)} (API parity
+    with knpWeakForm.py:47-80; the eliminated ion is the last row)."""
+    return {
+        t: jnp.zeros((len(ions), s.n_dofs), dtype)
+        for t, s in geom.subdomains.items()
+    }
+
+
+def knp_system(
+    geom: DiscreteGeometry,
+    ions: List[Ion],
+    params: PhysicalParams,
+    splitting_scheme: bool = True,
+    mms: Optional[KNPMMSData] = None,
+) -> KNPSystem:
+    return KNPSystem(geom, ions, params, splitting_scheme, mms)
