@@ -162,10 +162,9 @@ def _p1_cell_geometry(points: np.ndarray, cells: np.ndarray):
     E = x[:, 1:, :] - x[:, :1, :]  # (nc, d, dim)
     det = np.linalg.det(E)
     vols = np.abs(det) / (2.0 if dim == 2 else 6.0)
-    # In local coords x = x_0 + E^T xi with lambda_i = xi_{i-1} (i >= 1), so
-    # grad_x lambda_i = inv(E^T) e_{i-1}: the (i-1)-th column of inv(E^T).
-    grads_rest = np.linalg.inv(np.swapaxes(E, 1, 2))  # (nc, dim, d)
-    grads_rest = np.swapaxes(grads_rest, 1, 2)  # (nc, d, dim) rows = grads
+    # In local coords x = x_0 + E^T xi with lambda_i = xi_{i-1} (i >= 1):
+    # xi = inv(E^T)(x - x_0), so grad_x lambda_i is ROW (i-1) of inv(E^T).
+    grads_rest = np.linalg.inv(np.swapaxes(E, 1, 2))  # (nc, d, dim), rows = grads
     g0 = -grads_rest.sum(axis=1, keepdims=True)
     grads = np.concatenate([g0, grads_rest], axis=1)  # (nc, d+1, dim)
     return grads, vols

@@ -116,13 +116,10 @@ class KNPSolver:
         for t in sys_.tags:
             diag = sys_.diag(t, gradphi[t])  # (Ns, n)
 
-            def solve_one(b_row, d_row, x0_row, t=t, gp=gradphi[t]):
-                def A(v):
-                    return self.system.matvec(t, v[None, :], gp)[0]
-
+            def solve_one(b_row, d_row, x0_row, D_k, z_k, t=t, gp=gradphi[t]):
                 Minv = 1.0 / d_row
                 return gmres(
-                    A,
+                    lambda v: self.system.matvec_one(t, v, gp, D_k, z_k),
                     b_row,
                     x0=x0_row,
                     M=lambda v: Minv * v,
@@ -139,7 +136,9 @@ class KNPSolver:
                 if x0 is None
                 else x0[t][: sys_.n_solved]
             )
-            res = jax.vmap(solve_one)(rhs[t], diag, x0_t)
+            res = jax.vmap(solve_one)(
+                rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved
+            )
             out[t] = res.x
             iters = jnp.maximum(iters, res.iters.max())
         return out, iters

@@ -124,12 +124,12 @@ class KNPSystem:
             for t in self.tags
         }
 
-    def matvec(self, tag: int, X: jnp.ndarray, gradphi_cell: jnp.ndarray):
-        """Batched LHS action for one subdomain: X (N_solved, n) -> (N_solved, n).
+    def matvec_one(self, tag: int, x: jnp.ndarray, gradphi_cell, D, z):
+        """LHS action for a single (subdomain, ion) block."""
+        one = self._one_matvec(tag, gradphi_cell)
+        return one(x, D, z)
 
-        For MMS, gradphi_cell is ignored and the exact-phi quadrature drift
-        is used instead.
-        """
+    def _one_matvec(self, tag: int, gradphi_cell):
         s = self.sub[tag]
         dt, psi = self.params.dt, self.params.psi
 
@@ -162,6 +162,15 @@ class KNPSystem:
                 )
                 return y
 
+        return one
+
+    def matvec(self, tag: int, X: jnp.ndarray, gradphi_cell: jnp.ndarray):
+        """Batched LHS action for one subdomain: X (N_solved, n) -> (N_solved, n).
+
+        For MMS, gradphi_cell is ignored and the exact-phi quadrature drift
+        is used instead.
+        """
+        one = self._one_matvec(tag, gradphi_cell)
         return jax.vmap(one)(X, self.D[tag], self.z_solved)
 
     def diag(self, tag: int, gradphi_cell: jnp.ndarray) -> jnp.ndarray:
