@@ -1,0 +1,3 @@
+from .stepper import Simulation, SolverOptions
+
+__all__ = ["Simulation", "SolverOptions"]

@@ -1,0 +1,228 @@
+"""The coupled KNP-EMI time stepper: one jitted, scan-able step.
+
+The reference's 5-phase time loop lives in every driver script
+(run_2D.py:341-372):
+
+  [1] solve ODEs (per membrane dof, serial LSODA)
+  [2] EMI solve (reassemble + PETSc CG/AMG)
+  [3] KNP solve (reassemble + PETSc GMRES/AMG)
+  [4] algebraic update (c_prev <- c, eliminated ion, Nernst, phi_M)
+  [5] write output
+
+Here phases 1-4 are a single pure function ``Simulation.step(state) ->
+state`` (SURVEY.md section 7, design delta 4) executed under ``jax.jit``
+and batched into ``lax.scan`` chunks of ``save_every`` steps; host
+callbacks happen only between chunks (checkpoint/trace recording).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import DiscreteGeometry
+from ..systems.types import Ion, PhysicalParams, SimState
+from ..systems.emi import EMISystem
+from ..systems.knp import KNPSystem
+from ..systems.coupling import (
+    set_initial_conditions,
+    update_pde_variables,
+)
+from ..solvers.api import EMISolver, KNPSolver
+from ..models.engine import MembraneModel, update_ode_variables
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    direct: bool = False
+    rtol_emi: float = 1e-5
+    atol_emi: float = 1e-40
+    rtol_knp: float = 1e-7
+    atol_knp: float = 2e-40
+    maxiter: int = 1000
+    restart: int = 30
+
+
+class Simulation:
+    """Owns the systems, solvers and membrane models for one scenario."""
+
+    def __init__(
+        self,
+        geom: DiscreteGeometry,
+        ions: List[Ion],
+        params: PhysicalParams,
+        mem_models: List[MembraneModel],
+        solver_options: Optional[SolverOptions] = None,
+        source_gate: Optional[Callable] = None,
+        splitting_scheme: bool = True,
+    ):
+        self.geom = geom
+        self.ions = ions
+        self.params = params
+        self.mem_models = {mm.tag: mm for mm in mem_models}
+        opts = solver_options or SolverOptions()
+        self.opts = opts
+        self.emi_sys = EMISystem(geom, ions, params, splitting_scheme)
+        self.knp_sys = KNPSystem(geom, ions, params, splitting_scheme)
+        self.emi_solver = EMISolver(
+            self.emi_sys, direct=opts.direct, rtol=opts.rtol_emi,
+            atol=opts.atol_emi, maxiter=opts.maxiter,
+        )
+        self.knp_solver = KNPSolver(
+            self.knp_sys, direct=opts.direct, rtol=opts.rtol_knp,
+            atol=opts.atol_knp, maxiter=opts.maxiter, restart=opts.restart,
+        )
+        # time gate for the ECS source term (pulsed K+/Na- injection in the
+        # benchmark/astrocyte drivers); must be jax-traceable t -> scalar
+        self.source_gate = source_gate or (lambda t: 1.0)
+        self._step_jit = None
+        self._chunk_jit = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> SimState:
+        c = set_initial_conditions(self.geom, self.ions)
+        phi = {
+            t: jnp.zeros((s.n_dofs,), jnp.float64)
+            for t, s in self.geom.subdomains.items()
+        }
+        phi_M = {}
+        ode_states = {}
+        ode_params = {}
+        for m, mm in self.mem_models.items():
+            states0 = getattr(mm, "states0", mm.init_states())
+            params0 = getattr(mm, "params0", mm.init_params())
+            ode_states[m] = jnp.asarray(states0)
+            ode_params[m] = jnp.asarray(params0)
+            # initial phi_M from the ODE file's resting V (run_2D.py: the
+            # first EMI solve uses the ODE-provided membrane potential)
+            phi_M[m] = jnp.asarray(states0[:, mm.state_index("V")])
+        return SimState(
+            c=c,
+            phi=phi,
+            phi_M=phi_M,
+            ode_states=ode_states,
+            ode_params=ode_params,
+            t=jnp.asarray(0.0, jnp.float64),
+            step=jnp.asarray(0, jnp.int32),
+            emi_iters=jnp.asarray(0, jnp.int32),
+            knp_iters=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, state: SimState) -> SimState:
+        """One full splitting step (pure; jit/scan-safe)."""
+        p = self.params
+        dt = p.dt
+        first = state.step == 0
+
+        # [1] membrane ODEs (vmapped over all dofs at once)
+        phi_M_new = dict(state.phi_M)
+        ode_states = dict(state.ode_states)
+        ode_params = dict(state.ode_params)
+        I_ch: Dict[int, jnp.ndarray] = {}
+        for m, mm in self.mem_models.items():
+            prms, sts = update_ode_variables(
+                mm, state.ode_params[m], state.ode_states[m],
+                state.c, state.phi_M[m], self.ions, first,
+            )
+            sts = mm.step(sts, prms, state.t, dt)
+            ode_states[m] = sts
+            ode_params[m] = prms
+            phi_M_new[m] = mm.get_membrane_potential(sts)
+            cur = mm.currents(sts, prms, state.t + dt)
+            I_ch[m] = jnp.stack([cur[ion.name] for ion in self.ions])
+
+        # [2] EMI solve (kappa rebuilt from previous concentrations)
+        phi, emi_iters = self.emi_solver.solve(
+            state.c, phi_M_new, I_ch, x0=state.phi
+        )
+
+        # [3] KNP solve (drift linearized around the fresh phi)
+        c_solved, knp_iters = self.knp_solver.solve(
+            state.c, phi, phi_M_new, I_ch,
+            source_gate=self.source_gate(state.t),
+            x0=state.c,
+        )
+
+        # [4] algebraic refresh: eliminated ion + phi_M from PDE traces
+        c_new, phi_M_pde = update_pde_variables(
+            self.geom, self.ions, p, c_solved, phi
+        )
+
+        return SimState(
+            c=c_new,
+            phi=phi,
+            phi_M=phi_M_pde,
+            ode_states=ode_states,
+            ode_params=ode_params,
+            t=state.t + dt,
+            step=state.step + 1,
+            emi_iters=emi_iters,
+            knp_iters=knp_iters,
+        )
+
+    # ------------------------------------------------------------------
+    def _chunk(self, n: int):
+        if n not in self._chunk_jit:
+
+            def body(s, _):
+                s2 = self.step(s)
+                return s2, (s2.emi_iters, s2.knp_iters)
+
+            def chunk(s):
+                return jax.lax.scan(body, s, None, length=n)
+
+            self._chunk_jit[n] = jax.jit(chunk)
+        return self._chunk_jit[n]
+
+    def run(
+        self,
+        state: SimState,
+        n_steps: int,
+        save_every: Optional[int] = None,
+        observer: Optional[Callable[[SimState], None]] = None,
+        verbose: bool = False,
+    ):
+        """Advance n_steps; call ``observer(state)`` every ``save_every``
+        steps (and once at the end).  Returns (state, emi_iters[], knp_iters[]).
+        """
+        if self.opts.direct:
+            # host LU path: plain python loop (tests/small runs only)
+            it_e, it_k = [], []
+            for k in range(n_steps):
+                state = self.step(state)
+                it_e.append(int(state.emi_iters))
+                it_k.append(int(state.knp_iters))
+                if observer and save_every and (k + 1) % save_every == 0:
+                    observer(state)
+            return state, np.array(it_e), np.array(it_k)
+
+        chunk_n = save_every or n_steps
+        chunk = self._chunk(chunk_n)
+        it_e, it_k = [], []
+        done = 0
+        while done < n_steps:
+            n = min(chunk_n, n_steps - done)
+            if n != chunk_n:
+                chunk = self._chunk(n)
+            t0 = time.perf_counter()
+            state, (ce, ck) = chunk(state)
+            state.t.block_until_ready()
+            if verbose:
+                dt_wall = time.perf_counter() - t0
+                print(
+                    f"  steps {done + 1}..{done + n}: "
+                    f"{dt_wall / n * 1e3:.2f} ms/step, "
+                    f"emi_it={int(ce[-1])} knp_it={int(ck[-1])}"
+                )
+            it_e.append(np.asarray(ce))
+            it_k.append(np.asarray(ck))
+            done += n
+            if observer:
+                observer(state)
+        return state, np.concatenate(it_e), np.concatenate(it_k)
