@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Benchmark harness: DoF throughput of the coupled KNP-EMI step.
+
+Prints ONE JSON line:
+  {"metric": "knpemi_mdof_per_s_per_chip", "value": <MDoF/s>,
+   "unit": "MDoF/s", "vs_baseline": <ratio vs host-CPU run>}
+
+Metric definition (BASELINE.md "MDoF/s per chip"): one time step solves
+the EMI system (n_emi dofs) and the KNP block system (N_solved ions x
+subdomain dofs); throughput = (n_emi + n_knp) * steps / wall_seconds.
+The full splitting step is timed — vmapped membrane ODE sweep, both
+Krylov solves, and the algebraic refresh — i.e. "assembly + solve per
+timestep" (everything is matrix-free, so assembly is inside the solves).
+
+The baseline ratio is measured against the same step executed on the
+host CPU backend in this process (the reference stack is CPU
+PETSc+MPI; BASELINE.json publishes no absolute numbers, so the
+self-measured CPU run is the available stand-in).
+
+Environment knobs:
+  KNPEMI_BENCH_CASE  = 3d|2d   (default 3d)
+  KNPEMI_BENCH_RES   = int     (default 1 for 3d, 4 for 2d)
+  KNPEMI_BENCH_STEPS = int     (default 10 timed steps)
+  KNPEMI_BENCH_CPU   = 0|1     (default 1: measure the CPU baseline)
+  KNPEMI_BENCH_CPU_STEPS = int (default 5)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "examples" / "idealized"))
+
+
+def _dofs_per_step(sim):
+    n_emi = sim.geom.emi_size
+    n_knp = sum(
+        sim.knp_sys.n_solved * s.n_dofs for s in sim.geom.subdomains.values()
+    )
+    return n_emi + n_knp
+
+
+def _time_steps(sim, n_steps):
+    """Compile one single-step chunk, then time it n_steps times (one
+    compilation unit; remote-TPU compiles are expensive)."""
+    state = sim.init_state()
+    chunk = sim._chunk(1)
+    state, _ = chunk(state)  # warm-up/compile
+    state.t.block_until_ready()
+    it_e, it_k = [], []
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, (ce, ck) = chunk(state)
+    state.t.block_until_ready()
+    wall = time.perf_counter() - t0
+    return wall, state, ce, ck
+
+
+def main():
+    case = os.environ.get("KNPEMI_BENCH_CASE", "3d")
+    steps = int(os.environ.get("KNPEMI_BENCH_STEPS", "10"))
+    cpu_steps = int(os.environ.get("KNPEMI_BENCH_CPU_STEPS", "5"))
+    do_cpu = os.environ.get("KNPEMI_BENCH_CPU", "1") == "1"
+
+    if case == "2d":
+        from run_2d import build_simulation
+
+        res = int(os.environ.get("KNPEMI_BENCH_RES", "4"))
+        make = lambda: build_simulation(resolution=res)
+    else:
+        from run_3d import build_simulation
+
+        res = int(os.environ.get("KNPEMI_BENCH_RES", "1"))
+        make = lambda: build_simulation(resolution=res, g_syn_bar=10.0)
+
+    import jax
+
+    sim = make()
+    dofs = _dofs_per_step(sim)
+    wall, state, it_e, it_k = _time_steps(sim, steps)
+    ms_per_step = wall / steps * 1e3
+    mdofs = dofs * steps / wall / 1e6
+    print(
+        f"# device={jax.devices()[0].platform} case={case} res={res} "
+        f"dofs/step={dofs} steps={steps} wall={wall:.2f}s "
+        f"({ms_per_step:.1f} ms/step) last_it emi={int(it_e[-1])} "
+        f"knp={int(it_k[-1])}",
+        file=sys.stderr,
+    )
+
+    vs_baseline = 1.0
+    if do_cpu:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            sim_cpu = make()
+            wall_cpu, *_ = _time_steps(sim_cpu, cpu_steps)
+        cpu_mdofs = dofs * cpu_steps / wall_cpu / 1e6
+        vs_baseline = mdofs / cpu_mdofs
+        print(
+            f"# cpu: {wall_cpu / cpu_steps * 1e3:.1f} ms/step "
+            f"({cpu_mdofs:.3f} MDoF/s) -> speedup {vs_baseline:.2f}x",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "knpemi_mdof_per_s_per_chip",
+                "value": round(mdofs, 4),
+                "unit": "MDoF/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
+import jax
 import jax.numpy as jnp
 
 from knpemi_tpu.mesh import idealized_2d_mesh
@@ -40,12 +41,22 @@ CL_I_INIT = NA_I_INIT + K_I_INIT
 D_NA, D_K, D_CL = 1.33e-9, 1.96e-9, 2.03e-9
 
 
+def default_dtype():
+    """f64 where cheap (CPU), f32 on TPU (no native f64 hardware; the f32
+    path matches f64 to ~1e-4 mV over a full action potential, see
+    tests/test_precision.py)."""
+    return jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+
+
 def build_simulation(
     resolution: int = 1,
     direct: bool = False,
     g_syn_bar: float = 10.0,
     dt: float = 1.0e-4,
+    dtype=None,
 ):
+    if dtype is None:
+        dtype = default_dtype()
     mesh = idealized_2d_mesh(resolution)
     geom = build_geometry(mesh)
 
@@ -72,6 +83,7 @@ def build_simulation(
     sim = Simulation(
         geom, ions, params, mem_models,
         SolverOptions(direct=direct, rtol_emi=1e-5, rtol_knp=1e-7),
+        dtype=dtype,
     )
     return sim
 

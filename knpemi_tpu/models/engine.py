@@ -103,7 +103,10 @@ class MembraneModel:
         states: (n, S); params: (n, P); returns new states.
         """
         n_sub = self.n_steps_ODE
-        h = dt / n_sub
+        # keep the substep clock in the state dtype so the scan carry does
+        # not upcast under x64 (f32 time is ample for the stimulus windows)
+        t0 = jnp.asarray(t0, dtype=states.dtype)
+        h = jnp.asarray(dt / n_sub, dtype=states.dtype)
         rhs = self.ode.rhs
 
         def substep(carry, i):
@@ -123,6 +126,7 @@ class MembraneModel:
         values from the last RHS evaluation of the completed ODE step
         (odeSolver.py step + get_parameter('I_ch_...'), run_2D.py:108-109).
         """
+        t = jnp.asarray(t, dtype=states.dtype)
         vals = jax.vmap(lambda yy, pp: self.ode.currents(t, yy, pp))(states, params)
         return dict(zip(self.ode.current_names, vals))
 

@@ -150,6 +150,22 @@ class DiscreteGeometry:
         }
 
 
+def _morton_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Argsort of points along a Z-order (Morton) space-filling curve."""
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    q = ((coords - lo) / span * (2**bits - 1)).astype(np.uint64)
+    dim = coords.shape[1]
+    key = np.zeros(len(coords), dtype=np.uint64)
+    for b in range(bits):
+        for d in range(dim):
+            key |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * dim + d
+            )
+    return np.argsort(key, kind="stable")
+
+
 def _p1_cell_geometry(points: np.ndarray, cells: np.ndarray):
     """P1 basis gradients and volumes per cell.
 
@@ -221,9 +237,21 @@ def build_geometry(
         cell_ids = np.flatnonzero(mesh.cell_tags == tag)
         cells_p = mesh.cells[cell_ids]
         verts = np.unique(cells_p)
+        # order dofs along a Morton (Z-order) curve: consecutive dofs are
+        # spatially compact, so the multigrid hierarchy can aggregate
+        # CONTIGUOUS index ranges (restriction = reshape+sum, no gathers —
+        # solvers/mg.py) and the blocked assembly kernels get dense dof
+        # windows per cell block
+        verts = verts[_morton_order(pts[verts])]
         p2l = np.full(mesh.n_points, -1, dtype=np.int32)
         p2l[verts] = np.arange(len(verts), dtype=np.int32)
         cells_l = p2l[cells_p]
+        # sort cells by their smallest dof: cell blocks then touch compact
+        # dof windows (locality for the blocked TPU assembly kernels)
+        corder = np.argsort(cells_l.min(axis=1), kind="stable")
+        cell_ids = cell_ids[corder]
+        cells_p = cells_p[corder]
+        cells_l = cells_l[corder]
         grads, vols = _p1_cell_geometry(pts, cells_p)
         subdomains[tag] = SubdomainSpace(
             tag=tag,

@@ -1,0 +1,3 @@
+from .spmd import SpmdSimulation
+
+__all__ = ["SpmdSimulation"]

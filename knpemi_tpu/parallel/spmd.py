@@ -1,0 +1,197 @@
+"""SPMD execution over a device mesh: spatial sharding of the KNP-EMI step.
+
+The reference scales by MPI domain decomposition inherited from
+dolfinx/PETSc (SURVEY.md section 2.4: partitioned mesh read, ghosted
+vectors, distributed Krylov).  The TPU-native equivalent implemented here
+(SURVEY.md section 7, design delta 5):
+
+* **cells / facets / membrane dofs are sharded** across a 1-D
+  ``jax.sharding.Mesh`` axis ``'cells'`` — assembly (gather -> element
+  kernel -> scatter-add) and the vmapped ODE substeps, which dominate
+  the per-step cost, run on local shards;
+* **dof vectors are replicated** — every assembled vector is combined
+  with ``lax.psum`` over the mesh axis (the XLA collective rides the
+  ICI), after which Krylov dot products need no further communication;
+* solver iterations are bitwise identical across devices by
+  construction, so no ghost/halo bookkeeping is needed (this replaces
+  PETSc's ``scatter_forward`` ghost updates entirely).
+
+This is the "shard the O(cells) work, replicate the O(dofs) state"
+decomposition: for P1 simplex meshes the cell data outnumber dofs by
+~12-40x, so it shards the memory- and FLOP-dominant arrays while keeping
+a single psum per operator application as the only collective.
+
+``SpmdSimulation`` wraps a single-device :class:`Simulation` and exposes
+the same ``step``/``run`` API with the step executed under ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..sim.stepper import Simulation
+from ..systems.types import SimState
+from ..systems.coupling import update_pde_variables
+from ..models.engine import update_ode_variables
+from ..solvers.api import EMISolver, KNPSolver
+
+AXIS = "cells"
+
+
+def _pad_to(x: np.ndarray, mult: int, fill=0):
+    n = x.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return np.asarray(x)
+    pad = np.full((rem,) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([np.asarray(x), pad], axis=0)
+
+
+class SpmdSimulation:
+    """Runs ``sim.step`` under shard_map over ``devices`` (default: all)."""
+
+    def __init__(self, sim: Simulation, devices=None):
+        if devices is None:
+            devices = jax.devices()
+        self.sim = sim
+        self.n_dev = len(devices)
+        self.mesh = Mesh(np.array(devices), (AXIS,))
+
+        n = self.n_dev
+        # ---- sharded geometry pytrees (leading axis divisible by n) -----
+        sub_arrays: Dict[int, dict] = {}
+        for t, s in sim.geom.subdomains.items():
+            entry = dict(
+                cells=_pad_to(s.cells, n),  # padded cells point at dof 0 …
+                grads=_pad_to(s.grads, n),
+                vols=_pad_to(s.vols, n),  # … with zero volume: no-ops
+            )
+            fsrc = sim.knp_sys.fsrc.get(t)
+            if fsrc is not None:
+                entry["fsrc"] = _pad_to(np.asarray(fsrc), n)
+            sub_arrays[t] = entry
+        mem_arrays: Dict[int, dict] = {}
+        for m, sp in sim.geom.membranes.items():
+            mem_arrays[m] = dict(
+                facet_dofs=_pad_to(sp.facet_dofs, n),
+                facet_edofs=_pad_to(sp.facet_edofs, n),
+                facet_idofs=_pad_to(sp.facet_idofs, n),
+                areas=_pad_to(sp.areas, n),  # zero-area padding: no-ops
+            )
+        # membrane dof blocks for the ODE sweep
+        self.ode_pad: Dict[int, int] = {}
+        for m, mm in sim.mem_models.items():
+            nm = mm.n_dofs
+            self.ode_pad[m] = (-nm) % n
+
+        self.sub_arrays = jax.tree.map(jnp.asarray, sub_arrays)
+        self.mem_arrays = jax.tree.map(jnp.asarray, mem_arrays)
+
+        geom_specs = jax.tree.map(
+            lambda x: P(AXIS, *([None] * (x.ndim - 1))),
+            (self.sub_arrays, self.mem_arrays),
+        )
+        self._step_sharded = jax.jit(
+            shard_map(
+                self._step_body,
+                mesh=self.mesh,
+                in_specs=(P(), geom_specs[0], geom_specs[1]),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _step_body(self, state: SimState, sub_arrays, mem_arrays) -> SimState:
+        sim = self.sim
+        p = sim.params
+        dt = p.dt
+        first = state.step == 0
+        psum = lambda v: jax.lax.psum(v, AXIS)
+
+        # local views of the systems: sharded geometry + psum-combined vectors
+        esys = sim.emi_sys.local_view(sub_arrays, mem_arrays, psum)
+        ksys = sim.knp_sys.local_view(sub_arrays, mem_arrays, psum)
+        emi_solver = EMISolver(
+            esys, rtol=sim.opts.rtol_emi, atol=sim.opts.atol_emi,
+            maxiter=sim.opts.maxiter,
+        )
+        knp_solver = KNPSolver(
+            ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,
+            maxiter=sim.opts.maxiter, restart=sim.opts.restart,
+        )
+
+        # [1] membrane ODEs: shard the dof rows over the mesh axis
+        idx = jax.lax.axis_index(AXIS)
+        phi_M_new = dict(state.phi_M)
+        ode_states = dict(state.ode_states)
+        ode_params = dict(state.ode_params)
+        I_ch: Dict[int, jnp.ndarray] = {}
+        for m, mm in sim.mem_models.items():
+            prms, sts = update_ode_variables(
+                mm, state.ode_params[m], state.ode_states[m],
+                state.c, state.phi_M[m], sim.ions, first,
+            )
+            nm = mm.n_dofs
+            pad = self.ode_pad[m]
+            npad = nm + pad
+            blk = npad // self.n_dev
+            sts_p = jnp.concatenate([sts, sts[:1].repeat(pad, 0)], 0) if pad else sts
+            prms_p = (
+                jnp.concatenate([prms, prms[:1].repeat(pad, 0)], 0) if pad else prms
+            )
+            lo = idx * blk
+            sts_loc = jax.lax.dynamic_slice_in_dim(sts_p, lo, blk, 0)
+            prms_loc = jax.lax.dynamic_slice_in_dim(prms_p, lo, blk, 0)
+            sts_loc = mm.step(sts_loc, prms_loc, state.t, dt)
+            sts_new = jax.lax.all_gather(sts_loc, AXIS, tiled=True)[:nm]
+            ode_states[m] = sts_new
+            ode_params[m] = prms
+            phi_M_new[m] = mm.get_membrane_potential(sts_new)
+            cur = mm.currents(sts_new, prms, state.t + dt)
+            I_ch[m] = jnp.stack([cur[ion.name] for ion in sim.ions])
+
+        # [2] EMI solve
+        phi, emi_iters = emi_solver.solve(state.c, phi_M_new, I_ch, x0=state.phi)
+
+        # [3] KNP solve
+        c_solved, knp_iters = knp_solver.solve(
+            state.c, phi, phi_M_new, I_ch,
+            source_gate=sim.source_gate(state.t), x0=state.c,
+        )
+
+        # [4] algebraic refresh (replicated, cheap)
+        c_new, phi_M_pde = update_pde_variables(
+            sim.geom, sim.ions, p, c_solved, phi
+        )
+
+        return SimState(
+            c=c_new, phi=phi, phi_M=phi_M_pde,
+            ode_states=ode_states, ode_params=ode_params,
+            t=state.t + dt, step=state.step + 1,
+            emi_iters=emi_iters, knp_iters=knp_iters,
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> SimState:
+        return self.sim.init_state()
+
+    def step(self, state: SimState) -> SimState:
+        return self._step_sharded(state, self.sub_arrays, self.mem_arrays)
+
+    def run(self, state, n_steps, observer=None, save_every=None):
+        it_e, it_k = [], []
+        for k in range(n_steps):
+            state = self.step(state)
+            it_e.append(int(state.emi_iters))
+            it_k.append(int(state.knp_iters))
+            if observer and save_every and (k + 1) % save_every == 0:
+                observer(state)
+        return state, np.array(it_e), np.array(it_k)

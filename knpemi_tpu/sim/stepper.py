@@ -46,6 +46,12 @@ class SolverOptions:
     atol_knp: float = 2e-40
     maxiter: int = 1000
     restart: int = 30
+    # EMI preconditioner: 'mg' (smoothed-aggregation AMG, the BoomerAMG
+    # analog, solvers/mg.py) or 'jacobi' (deflated Jacobi fallback)
+    emi_precond: str = "mg"
+    mg_theta: float = 0.08
+    mg_coarse_max: int = 800
+    mg_nu: int = 1
 
 
 class Simulation:
@@ -60,15 +66,17 @@ class Simulation:
         solver_options: Optional[SolverOptions] = None,
         source_gate: Optional[Callable] = None,
         splitting_scheme: bool = True,
+        dtype=jnp.float64,
     ):
         self.geom = geom
         self.ions = ions
         self.params = params
+        self.dtype = dtype
         self.mem_models = {mm.tag: mm for mm in mem_models}
         opts = solver_options or SolverOptions()
         self.opts = opts
-        self.emi_sys = EMISystem(geom, ions, params, splitting_scheme)
-        self.knp_sys = KNPSystem(geom, ions, params, splitting_scheme)
+        self.emi_sys = EMISystem(geom, ions, params, splitting_scheme, dtype=dtype)
+        self.knp_sys = KNPSystem(geom, ions, params, splitting_scheme, dtype=dtype)
         self.emi_solver = EMISolver(
             self.emi_sys, direct=opts.direct, rtol=opts.rtol_emi,
             atol=opts.atol_emi, maxiter=opts.maxiter,
@@ -80,14 +88,39 @@ class Simulation:
         # time gate for the ECS source term (pulsed K+/Na- injection in the
         # benchmark/astrocyte drivers); must be jax-traceable t -> scalar
         self.source_gate = source_gate or (lambda t: 1.0)
+        if not opts.direct and opts.emi_precond == "mg":
+            self._setup_emi_mg()
         self._step_jit = None
         self._chunk_jit = {}
 
     # ------------------------------------------------------------------
+    def _setup_emi_mg(self):
+        """Build the lagged EMI multigrid hierarchy from the initial
+        conductivity (host, once; see solvers/mg.py docstring)."""
+        import scipy.sparse as sp
+        from ..solvers import direct as direct_mod
+        from ..solvers.mg import build_hierarchy
+
+        c0 = set_initial_conditions(self.geom, self.ions, dtype=jnp.float64)
+        kappa0 = {t: np.asarray(v) for t, v in self.emi_sys.kappa(c0).items()}
+        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa0)
+        d = A0.diagonal()
+        s = 1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1.0)))
+        S = sp.diags(s)
+        A_hat = (S @ A0 @ S).tocsr()
+        hier = build_hierarchy(
+            A_hat,
+            B=1.0 / s,
+            theta=self.opts.mg_theta,
+            coarse_max=self.opts.mg_coarse_max,
+            nu=self.opts.mg_nu,
+        )
+        self.emi_solver.mg = hier.device(self.dtype)
+
     def init_state(self) -> SimState:
-        c = set_initial_conditions(self.geom, self.ions)
+        c = set_initial_conditions(self.geom, self.ions, dtype=self.dtype)
         phi = {
-            t: jnp.zeros((s.n_dofs,), jnp.float64)
+            t: jnp.zeros((s.n_dofs,), self.dtype)
             for t, s in self.geom.subdomains.items()
         }
         phi_M = {}
@@ -96,11 +129,11 @@ class Simulation:
         for m, mm in self.mem_models.items():
             states0 = getattr(mm, "states0", mm.init_states())
             params0 = getattr(mm, "params0", mm.init_params())
-            ode_states[m] = jnp.asarray(states0)
-            ode_params[m] = jnp.asarray(params0)
+            ode_states[m] = jnp.asarray(states0, dtype=self.dtype)
+            ode_params[m] = jnp.asarray(params0, dtype=self.dtype)
             # initial phi_M from the ODE file's resting V (run_2D.py: the
             # first EMI solve uses the ODE-provided membrane potential)
-            phi_M[m] = jnp.asarray(states0[:, mm.state_index("V")])
+            phi_M[m] = jnp.asarray(states0[:, mm.state_index("V")], dtype=self.dtype)
         return SimState(
             c=c,
             phi=phi,

@@ -23,6 +23,22 @@ from .gmres import gmres
 from . import direct as direct_mod
 
 
+def _equilibrate(A, b, diag, x0=None):
+    """Symmetric Jacobi equilibration: transform A x = b into
+    (S A S) y = S b with S = diag(1/sqrt(|diag|)), x = S y.
+
+    Beyond preconditioning, this is a *numerical-range* requirement for the
+    f32 TPU path: physiological meshes are meter-scaled (h ~ 1e-7 m), raw
+    matrix entries are ~1e-21 and unscaled residual dot products underflow
+    f32.  After equilibration every Krylov quantity is O(1).
+    """
+    s = 1.0 / jnp.sqrt(jnp.abs(diag))
+    A_hat = lambda v: s * A(s * v)
+    b_hat = s * b
+    x0_hat = None if x0 is None else x0 / s
+    return A_hat, b_hat, x0_hat, s
+
+
 class EMISolver:
     def __init__(
         self,
@@ -32,6 +48,7 @@ class EMISolver:
         atol: float = 1e-40,
         maxiter: int = 1000,
         dot: Callable = jnp.vdot,
+        mg=None,
     ):
         self.system = system
         self.direct = direct
@@ -39,6 +56,9 @@ class EMISolver:
         self.atol = atol
         self.maxiter = maxiter
         self.dot = dot
+        # optional DeviceMG hierarchy (built on the equilibrated initial
+        # operator, solvers/mg.py); replaces the Jacobi/deflation fallback
+        self.mg = mg
 
     def solve(self, c, phi_M, I_ch=None, x0: Optional[Dict[int, jnp.ndarray]] = None):
         """Returns ({tag: phi}, iters)."""
@@ -53,20 +73,62 @@ class EMISolver:
         kappa = sys_.kappa(c)
         b = sys_.rhs(c, phi_M, I_ch)
         d = sys_.diag(kappa)
-        Minv = 1.0 / d
         x0_flat = None if x0 is None else sys_.flatten(x0)
+        A_hat, b_hat, x0_hat, s = _equilibrate(
+            lambda v: sys_.matvec(v, kappa), b, d, x0_flat
+        )
+        nullvec = sys_.nullvec
+        if nullvec is not None:
+            # null(S A S) = S^{-1} null(A): the scaled constant vector
+            nv = 1.0 / s
+            nullvec = nv / jnp.sqrt(self.dot(nv, nv))
+
+        # Coarse-space deflation: the membrane coupling C_phi*M_Gamma is
+        # weak relative to bulk conduction at physiological h, so each
+        # ICS-subdomain indicator is a near-null mode that stalls plain
+        # Jacobi-CG (the role hypre BoomerAMG plays in the reference,
+        # pdeSolver.py:32).  An additive coarse correction over the
+        # subdomain indicators removes those modes: M = I + W G^{-1} W^T
+        # with W the ICS indicator block and G = W^T A_hat W.
+        if self.mg is not None:
+            M = lambda v: self.mg.apply(A_hat, v)
+            res = cg(
+                A_hat, b_hat, x0=x0_hat, M=M,
+                rtol=self.rtol, atol=self.atol, maxiter=self.maxiter,
+                nullspace=nullvec, dot=self.dot,
+            )
+            return sys_.split(s * res.x), res.iters
+
+        W_cols = []
+        for t in sys_.tags:
+            if t == 0:
+                continue
+            e = jnp.zeros((sys_.n,), b.dtype)
+            off = sys_.offsets[t]
+            nd = sys_.sub[t]["n_dofs"]
+            e = e.at[off : off + nd].set(1.0)
+            W_cols.append(e / s)  # indicator in the equilibrated variables
+        M = None
+        if W_cols:
+            W = jnp.stack(W_cols, axis=1)  # (n, k)
+            AW = jnp.stack([A_hat(W[:, j]) for j in range(W.shape[1])], axis=1)
+            G = W.T @ AW
+
+            def M(v, W=W, G=G):
+                return v + W @ jax.scipy.linalg.solve(G, W.T @ v)
+
         res = cg(
-            lambda v: sys_.matvec(v, kappa),
-            b,
-            x0=x0_flat,
-            M=lambda v: Minv * v,
+            A_hat,
+            b_hat,
+            x0=x0_hat,
+            M=M,
             rtol=self.rtol,
             atol=self.atol,
             maxiter=self.maxiter,
-            nullspace=sys_.nullvec,
+            nullspace=nullvec,
             dot=self.dot,
         )
-        return sys_.split(res.x), res.iters
+        return sys_.split(s * res.x), res.iters
 
 
 class KNPSolver:
@@ -117,12 +179,14 @@ class KNPSolver:
             diag = sys_.diag(t, gradphi[t])  # (Ns, n)
 
             def solve_one(b_row, d_row, x0_row, D_k, z_k, t=t, gp=gradphi[t]):
-                Minv = 1.0 / d_row
-                return gmres(
+                A_hat, b_hat, x0_hat, s = _equilibrate(
                     lambda v: self.system.matvec_one(t, v, gp, D_k, z_k),
-                    b_row,
-                    x0=x0_row,
-                    M=lambda v: Minv * v,
+                    b_row, d_row, x0_row,
+                )
+                res = gmres(
+                    A_hat,
+                    b_hat,
+                    x0=x0_hat,
                     rtol=self.rtol,
                     atol=self.atol,
                     maxiter=self.maxiter,
@@ -130,6 +194,7 @@ class KNPSolver:
                     min_iter=self.min_iter,
                     dot=self.dot,
                 )
+                return res._replace(x=s * res.x)
 
             x0_t = (
                 jnp.zeros_like(rhs[t])

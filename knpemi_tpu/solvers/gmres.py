@@ -40,13 +40,15 @@ def gmres(
     n = b.shape[0]
     m = restart
 
+    # floor the relative tolerance at the dtype's attainable residual
+    eps = jnp.finfo(b.dtype).eps
+    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 20 * eps)
+
     r0 = b - A(x0)
+    # PETSc KSPConvergedDefault semantics: ||r|| < max(rtol*||b||, atol)
     bnorm = jnp.sqrt(dot(b, b))
-    # PETSc default convergence is relative to ||b|| for zero initial guess;
-    # with nonzero guess it uses ||r0||.  We use max(rtol*||r0||, atol) to
-    # match the CG side and the reference's monitored true residuals.
     r0norm = jnp.sqrt(dot(r0, r0))
-    tol = jnp.maximum(rtol * jnp.where(bnorm > 0, r0norm, 1.0), atol)
+    tol = jnp.maximum(rtol * bnorm, atol)
 
     def cycle(x, total_it):
         """One GMRES(m) cycle starting from x."""
@@ -128,14 +130,19 @@ def gmres(
         return x + dx, total_it + j, res
 
     def outer_cond(st):
-        x, it, res = st
-        return (res > tol) & (it < maxiter)
+        x, it, res, best = st
+        # stop on convergence, cap, or a stagnated restart cycle; `best`
+        # holds the smallest residual of all cycles BEFORE the latest one
+        return (res > tol) & (it < maxiter) & (res < 0.999 * best)
 
     def outer_body(st):
-        x, it, _ = st
-        return cycle(x, it)
+        x, it, res, best = st
+        best = jnp.minimum(best, res)
+        x, it, res = cycle(x, it)
+        return (x, it, res, best)
 
-    x, it, res = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.int32(0), r0norm)
+    big = jnp.asarray(jnp.inf, b.dtype)
+    x, it, res, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, jnp.int32(0), r0norm, big)
     )
     return KrylovResult(x=x, iters=it, resnorm=res, converged=res <= tol)

@@ -1,0 +1,241 @@
+"""Smoothed-aggregation AMG preconditioner (Vanek/Mandel/Brezina).
+
+The reference leans on hypre BoomerAMG for both solves
+(pdeSolver.py:32,103); SURVEY.md section 7 ranks "AMG-class
+preconditioning in JAX" as the hardest native-parity item.  This module
+reaches BoomerAMG-class iteration counts (15-25 CG iterations on the 3-D
+EMI systems vs ~650 for Jacobi) with a TPU-friendly division of labor:
+
+* **setup on the host, once** (scipy): strength-of-connection filtering,
+  Vanek root-node aggregation on the filtered graph, near-null-space-
+  weighted tentative prolongators (the equilibrated operator's near-null
+  vector is sqrt(diag A), NOT the constant), Jacobi-smoothed P, Galerkin
+  RAP, dense pseudo-inverse of the coarsest level;
+* **apply on the device, every iteration** (jit): symmetric V-cycle with
+  damped-Jacobi smoothing; level operators and transfer operators are
+  applied in ELL form (fixed-width gathers), the coarsest inverse is a
+  dense MXU matmul.
+
+The hierarchy is *lagged*: built from the initial operator and reused as
+the preconditioner while CG solves the current operator exactly (the
+tissue conductivity kappa drifts <1% over a simulation; see
+Simulation._setup_emi_mg).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+def strength_filter(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Keep |a_ij| >= theta sqrt(a_ii a_jj); lump dropped entries onto the
+    diagonal (standard SA filtering)."""
+    A = A.tocsr()
+    d = np.abs(A.diagonal())
+    C = A.tocoo()
+    keep = (np.abs(C.data) >= theta * np.sqrt(d[C.row] * d[C.col])) | (
+        C.row == C.col
+    )
+    Af = sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape)
+    dropped = sp.csr_matrix(
+        (C.data[~keep], (C.row[~keep], C.col[~keep])), shape=A.shape
+    )
+    lump = np.asarray(dropped.sum(axis=1)).ravel()
+    return (Af + sp.diags(lump)).tocsr()
+
+
+def vanek_aggregate(Af: sp.csr_matrix):
+    """Root-node aggregation on the strength graph (Vanek phases 1-3)."""
+    Af = Af.tocsr()
+    n = Af.shape[0]
+    agg = np.full(n, -1, dtype=np.int64)
+    nc = 0
+    indptr, indices = Af.indptr, Af.indices
+    for i in range(n):  # phase 1: roots with fully free neighborhoods
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i] : indptr[i + 1]]
+        if (agg[nb] == -1).all():
+            agg[nb] = nc
+            agg[i] = nc
+            nc += 1
+    for i in range(n):  # phase 2: attach stragglers
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i] : indptr[i + 1]]
+        cand = nb[agg[nb] >= 0]
+        agg[i] = agg[cand[0]] if len(cand) else -2
+    for i in range(n):  # phase 3: isolated nodes become singletons
+        if agg[i] == -2:
+            agg[i] = nc
+            nc += 1
+    return agg, nc
+
+
+def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 30) -> float:
+    d = A.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    x = np.random.default_rng(0).standard_normal(A.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        x = (A @ x) / d
+        lam = np.linalg.norm(x)
+        x /= max(lam, 1e-30)
+    return float(max(lam, 1e-30))
+
+
+def _csr_to_ell(A: sp.csr_matrix, pad_diag=True):
+    A = A.tocsr()
+    n = A.shape[0]
+    K = max(int(np.diff(A.indptr).max()), 1)
+    cols = np.zeros((n, K), dtype=np.int32)
+    vals = np.zeros((n, K))
+    nnz_per_row = np.diff(A.indptr)
+    # vectorized fill
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
+    cols[rows, pos] = A.indices
+    vals[rows, pos] = A.data
+    if pad_diag:
+        # unused slots point at the row itself with zero value
+        mask = pos_mask = np.zeros((n, K), dtype=bool)
+        pos_mask[rows, pos] = True
+        cols[~pos_mask] = np.repeat(np.arange(n)[:, None], K, 1)[~pos_mask]
+    return cols, vals
+
+
+@dataclasses.dataclass
+class MGLevel:
+    n: int
+    diag: np.ndarray
+    omega: float
+    # operator in ELL form (None on the finest level: matrix-free there)
+    a_cols: Optional[np.ndarray] = None
+    a_vals: Optional[np.ndarray] = None
+    # prolongator P (n x nc) and restriction P^T (nc x n) in ELL form
+    p_cols: Optional[np.ndarray] = None
+    p_vals: Optional[np.ndarray] = None
+    pt_cols: Optional[np.ndarray] = None
+    pt_vals: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class MGHierarchy:
+    levels: List[MGLevel]
+    coarse_inv: np.ndarray
+    nu: int = 1
+
+    def device(self, dtype):
+        out = []
+        for lv in self.levels:
+            out.append(
+                dict(
+                    n=lv.n,
+                    dinv=jnp.asarray(lv.omega / lv.diag, dtype=dtype),
+                    a_cols=None if lv.a_cols is None else jnp.asarray(lv.a_cols),
+                    a_vals=None
+                    if lv.a_vals is None
+                    else jnp.asarray(lv.a_vals, dtype=dtype),
+                    p_cols=jnp.asarray(lv.p_cols),
+                    p_vals=jnp.asarray(lv.p_vals, dtype=dtype),
+                    pt_cols=jnp.asarray(lv.pt_cols),
+                    pt_vals=jnp.asarray(lv.pt_vals, dtype=dtype),
+                )
+            )
+        return DeviceMG(out, jnp.asarray(self.coarse_inv, dtype=dtype), self.nu)
+
+
+def build_hierarchy(
+    A0: sp.csr_matrix,
+    B: Optional[np.ndarray] = None,
+    theta: float = 0.08,
+    coarse_max: int = 800,
+    max_levels: int = 10,
+    nu: int = 1,
+    omega_p: float = 4.0 / 3.0,
+) -> MGHierarchy:
+    """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
+    (sqrt of the original diagonal for equilibrated operators; ones for
+    raw operators)."""
+    A = A0.tocsr()
+    if B is None:
+        B = np.ones(A.shape[0])
+    levels: List[MGLevel] = []
+    while A.shape[0] > coarse_max and len(levels) < max_levels:
+        n = A.shape[0]
+        diag = A.diagonal()
+        diag = np.where(np.abs(diag) > 0, diag, 1.0)
+        Af = strength_filter(A, theta)
+        agg, nc = vanek_aggregate(Af)
+        norm = np.sqrt(np.bincount(agg, B**2, minlength=nc))
+        norm = np.where(norm > 0, norm, 1.0)
+        w = B / norm[agg]
+        Pt = sp.csr_matrix((w, (np.arange(n), agg)), shape=(n, nc))
+        lam_f = _lam_max_jacobi(Af)
+        df = Af.diagonal()
+        df = np.where(df != 0, df, 1.0)
+        P = (Pt - (omega_p / lam_f) * (sp.diags(1.0 / df) @ (Af @ Pt))).tocsr()
+
+        lv = MGLevel(n=n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)))
+        if levels:  # mid level: store the operator itself in ELL form
+            lv.a_cols, lv.a_vals = _csr_to_ell(A)
+        lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
+        lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
+        levels.append(lv)
+
+        A = (P.T @ A @ P).tocsr()
+        B = norm
+    coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-10)
+    return MGHierarchy(levels=levels, coarse_inv=coarse_inv, nu=nu)
+
+
+# ---------------------------------------------------------------------------
+# device-side application
+# ---------------------------------------------------------------------------
+def _ell_mv(cols, vals, x):
+    return (vals * x[cols]).sum(axis=1)
+
+
+class DeviceMG:
+    """Jit-safe symmetric V-cycle; the finest operator is supplied at call
+    time (matrix-free with current coefficients), coarser operators are
+    the lagged ELL matrices."""
+
+    def __init__(self, levels, coarse_inv, nu):
+        self.levels = levels
+        self.coarse_inv = coarse_inv
+        self.nu = nu
+
+    def _op(self, i: int, A0: Callable):
+        if i == 0:
+            return A0
+        lv = self.levels[i]
+        return lambda x: _ell_mv(lv["a_cols"], lv["a_vals"], x)
+
+    def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
+        return self._cycle(0, A0, r)
+
+    def _cycle(self, i: int, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
+        if i == len(self.levels):
+            return self.coarse_inv @ r
+        lv = self.levels[i]
+        A = self._op(i, A0)
+        dinv = lv["dinv"]
+        x = dinv * r
+        for _ in range(self.nu - 1):
+            x = x + dinv * (r - A(x))
+        rc = _ell_mv(lv["pt_cols"], lv["pt_vals"], r - A(x))
+        xc = self._cycle(i + 1, A0, rc)
+        x = x + _ell_mv(lv["p_cols"], lv["p_vals"], xc)
+        for _ in range(self.nu):
+            x = x + dinv * (r - A(x))
+        return x

@@ -62,7 +62,7 @@ def eliminated_concentration(
 
     c_solved: (N_ions-1, n_dofs) solved concentrations; rho scalar or (n,).
     """
-    s = jnp.einsum("k,kn->n", jnp.asarray(zs), c_solved)
+    s = jnp.einsum("k,kn->n", jnp.asarray(zs, dtype=c_solved.dtype), c_solved)
     return -(s + rho_z * rho) / z_elim
 
 

@@ -66,7 +66,14 @@ class EMISystem:
         params: PhysicalParams,
         splitting_scheme: bool = True,
         mms: Optional[EMIMMSData] = None,
+        reduce: Optional[callable] = None,
+        dtype=jnp.float64,
     ):
+        # `reduce` is the cross-device reduction applied to every assembled
+        # vector (identity on a single device; lax.psum(...,'cells') under
+        # shard_map — see knpemi_tpu.parallel.spmd).
+        self.reduce = reduce or (lambda v: v)
+        self.dtype = dtype
         self.geom = geom
         self.ions = ions
         self.params = params
@@ -82,8 +89,8 @@ class EMISystem:
         self.sub = {
             t: dict(
                 cells=jnp.asarray(s.cells),
-                grads=jnp.asarray(s.grads),
-                vols=jnp.asarray(s.vols),
+                grads=jnp.asarray(s.grads, dtype=dtype),
+                vols=jnp.asarray(s.vols, dtype=dtype),
                 n_dofs=s.n_dofs,
             )
             for t, s in geom.subdomains.items()
@@ -93,7 +100,7 @@ class EMISystem:
                 facet_dofs=jnp.asarray(sp.facet_dofs),
                 facet_edofs=jnp.asarray(sp.facet_edofs),
                 facet_idofs=jnp.asarray(sp.facet_idofs),
-                areas=jnp.asarray(sp.areas),
+                areas=jnp.asarray(sp.areas, dtype=dtype),
                 mem_to_ecs=jnp.asarray(sp.mem_to_ecs),
                 mem_to_ics=jnp.asarray(sp.mem_to_ics),
                 cell_tag=sp.cell_tag,
@@ -102,7 +109,7 @@ class EMISystem:
         }
 
         # Dirichlet mask (flat); MMS only
-        mask = np.ones(self.n, dtype=np.float64)
+        mask = np.ones(self.n, dtype=np.dtype(str(np.dtype(dtype))))
         self._bc_vals_flat = None
         if mms is not None and mms.dirichlet_dofs is not None:
             off0 = self.offsets[0]
@@ -115,8 +122,25 @@ class EMISystem:
 
         # normalized constant null vector (pure-Neumann case)
         self.nullvec = None if self.has_bc else jnp.full(
-            (self.n,), 1.0 / np.sqrt(self.n), dtype=jnp.float64
+            (self.n,), 1.0 / np.sqrt(self.n), dtype=dtype
         )
+
+    # ------------------------------------------------------------------
+    def local_view(self, sub, mem, reduce):
+        """Shallow copy whose geometry dicts are (sharded) local arrays and
+        whose assembled vectors are combined with `reduce` — used inside
+        shard_map (knpemi_tpu.parallel.spmd)."""
+        import copy
+
+        new = copy.copy(self)
+        new.sub = {
+            t: dict(self.sub[t], **sub[t]) for t in self.tags
+        }
+        new.mem = {
+            m: dict(self.mem[m], **mem[m]) for m in self.mem
+        }
+        new.reduce = reduce
+        return new
 
     # ------------------------------------------------------------------
     def split(self, x: jnp.ndarray) -> Dict[int, jnp.ndarray]:
@@ -160,7 +184,7 @@ class EMISystem:
             vals = K.facet_mass_values(u_i - u_e, sp["areas"], C_phi)
             ys[ct] = ys[ct].at[sp["facet_idofs"].reshape(-1)].add(vals.reshape(-1))
             ys[0] = ys[0].at[sp["facet_edofs"].reshape(-1)].add(-vals.reshape(-1))
-        return self.flatten(ys)
+        return self.reduce(self.flatten(ys))
 
     def matvec(self, x: jnp.ndarray, kappa: Dict[int, jnp.ndarray]):
         """Operator with symmetric Dirichlet elimination: identity on bc
@@ -185,7 +209,7 @@ class EMISystem:
             dvals = K.facet_mass_diag_values(sp["areas"], k_f, C_phi)
             ds[ct] = ds[ct].at[sp["facet_idofs"].reshape(-1)].add(dvals.reshape(-1))
             ds[0] = ds[0].at[sp["facet_edofs"].reshape(-1)].add(dvals.reshape(-1))
-        d = self.flatten(ds)
+        d = self.reduce(self.flatten(ds))
         if self.has_bc:
             d = d * self.bc_mask + (1.0 - self.bc_mask)
         return d
@@ -207,7 +231,7 @@ class EMISystem:
         rs = {}
         for t in self.tags:
             s = self.sub[t]
-            r = jnp.zeros((s["n_dofs"],), dtype=jnp.float64)
+            r = jnp.zeros((s["n_dofs"],), dtype=self.dtype)
             # diffusive driving: -F z_k D_k grad(c_k) . grad(v)
             for k, ion in enumerate(self.ions):
                 r = r - F * ion.z * K.stiffness_apply(
@@ -265,7 +289,7 @@ class EMISystem:
                     fw,
                 )
 
-        b = self.flatten(rs)
+        b = self.reduce(self.flatten(rs))
         if self.has_bc:
             # symmetric elimination: b_free -= A @ x_bc ; b_bc = g
             kap = self.kappa(c)

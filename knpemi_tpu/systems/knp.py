@@ -79,20 +79,25 @@ class KNPSystem:
         params: PhysicalParams,
         splitting_scheme: bool = True,
         mms: Optional[KNPMMSData] = None,
+        reduce: Optional[callable] = None,
+        dtype=jnp.float64,
     ):
         self.geom = geom
         self.ions = ions
         self.params = params
         self.splitting_scheme = splitting_scheme and mms is None
         self.mms = mms
+        self.reduce = reduce or (lambda v: v)
+        self.dtype = dtype
         self.tags = geom.sub_tags
         self.n_solved = len(ions) - 1
+        self.dim = geom.dim
 
         self.sub = {
             t: dict(
                 cells=jnp.asarray(s.cells),
-                grads=jnp.asarray(s.grads),
-                vols=jnp.asarray(s.vols),
+                grads=jnp.asarray(s.grads, dtype=dtype),
+                vols=jnp.asarray(s.vols, dtype=dtype),
                 n_dofs=s.n_dofs,
             )
             for t, s in geom.subdomains.items()
@@ -102,19 +107,43 @@ class KNPSystem:
                 facet_dofs=jnp.asarray(sp.facet_dofs),
                 facet_edofs=jnp.asarray(sp.facet_edofs),
                 facet_idofs=jnp.asarray(sp.facet_idofs),
-                areas=jnp.asarray(sp.areas),
+                areas=jnp.asarray(sp.areas, dtype=dtype),
                 cell_tag=sp.cell_tag,
             )
             for m, sp in geom.membranes.items()
         }
+        # ECS source terms at cell quadrature points, combined per tag into
+        # one (n_cells, nq, N_solved) array (or None) so the SPMD path can
+        # shard it along cells with the rest of the cell data.
+        self.fsrc: Dict[int, Optional[np.ndarray]] = {}
+        for t in self.tags:
+            cols = []
+            any_src = False
+            nc = geom.subdomains[t].n_cells
+            from ..ops import quadrature as quad
+
+            nq = quad.cell_rule(self.dim)[0].shape[0]
+            for ion in ions[:-1]:
+                if ion.f_source_q and t in ion.f_source_q:
+                    cols.append(np.asarray(ion.f_source_q[t]))
+                    any_src = True
+                else:
+                    cols.append(np.zeros((nc, nq)))
+            self.fsrc[t] = (
+                jnp.asarray(np.stack(cols, axis=-1), dtype=dtype)
+                if any_src else None
+            )
+
         # per-tag per-ion coefficient vectors (N_solved,) and all-ion (N,)
-        self.z_solved = jnp.asarray([ion.z for ion in ions[:-1]])
-        self.z_all = jnp.asarray([ion.z for ion in ions])
+        self.z_solved = jnp.asarray([ion.z for ion in ions[:-1]], dtype=dtype)
+        self.z_all = jnp.asarray([ion.z for ion in ions], dtype=dtype)
         self.D = {
-            t: jnp.asarray([ion.D[t] for ion in ions[:-1]]) for t in self.tags
+            t: jnp.asarray([ion.D[t] for ion in ions[:-1]], dtype=dtype)
+            for t in self.tags
         }
         self.D_all = {
-            t: jnp.asarray([ion.D[t] for ion in ions]) for t in self.tags
+            t: jnp.asarray([ion.D[t] for ion in ions], dtype=dtype)
+            for t in self.tags
         }
 
     # ------------------------------------------------------------------
@@ -123,6 +152,17 @@ class KNPSystem:
             t: K.cell_gradients(phi[t], self.sub[t]["cells"], self.sub[t]["grads"])
             for t in self.tags
         }
+
+    def local_view(self, sub, mem, reduce):
+        """Shallow copy with (sharded) local geometry arrays and a cross-
+        device `reduce` — used inside shard_map (knpemi_tpu.parallel.spmd)."""
+        import copy
+
+        new = copy.copy(self)
+        new.sub = {t: dict(self.sub[t], **sub[t]) for t in self.tags}
+        new.mem = {m: dict(self.mem[m], **mem[m]) for m in self.mem}
+        new.reduce = reduce
+        return new
 
     def matvec_one(self, tag: int, x: jnp.ndarray, gradphi_cell, D, z):
         """LHS action for a single (subdomain, ion) block."""
@@ -147,7 +187,7 @@ class KNPSystem:
                     s["n_dofs"], x, s["cells"], s["grads"], s["vols"],
                     w_q, bary, qw, coef=z * psi * D,
                 )
-                return y
+                return self.reduce(y)
 
         else:
 
@@ -160,7 +200,7 @@ class KNPSystem:
                     s["n_dofs"], x, s["cells"], s["grads"], s["vols"],
                     gradphi_cell, coef=z * psi * D,
                 )
-                return y
+                return self.reduce(y)
 
         return one
 
@@ -184,7 +224,8 @@ class KNPSystem:
         )
         D = self.D[tag][:, None]
         z = self.z_solved[:, None]
-        return md[None, :] + D * sd[None, :] + z * psi * D * dd[None, :]
+        return self.reduce(md[None, :]) + D * self.reduce(sd[None, :]) \
+            + z * psi * D * self.reduce(dd[None, :])
 
     # ------------------------------------------------------------------
     def _alpha_q(self, tag: int, c_traces_q: jnp.ndarray) -> jnp.ndarray:
@@ -227,23 +268,18 @@ class KNPSystem:
                         s["n_dofs"], fq, s["cells"], s["vols"], cb, cw
                     )
                 )(jnp.asarray(mms.f_k_q[t]))
-            if mms is None:
-                for k, ion in enumerate(self.ions[:-1]):
-                    if ion.f_source_q and t in ion.f_source_q:
-                        from ..ops import quadrature as quad
+            if mms is None and self.fsrc[t] is not None:
+                from ..ops import quadrature as quad
 
-                        cb, cw = quad.cell_rule(self.geom.dim)
-                        r_t = r_t.at[k].add(
-                            source_gate
-                            * K.source_rhs_quad(
-                                s["n_dofs"],
-                                jnp.asarray(ion.f_source_q[t]),
-                                s["cells"],
-                                s["vols"],
-                                jnp.asarray(cb),
-                                jnp.asarray(cw),
-                            )
-                        )
+                cb, cw = quad.cell_rule(self.dim)
+                fsrc = s.get("fsrc", self.fsrc[t])  # local view may shard it
+                cb = jnp.asarray(cb, dtype=self.dtype)
+                cw = jnp.asarray(cw, dtype=self.dtype)
+                r_t = r_t + source_gate * jax.vmap(
+                    lambda fq: K.source_rhs_quad(
+                        s["n_dofs"], fq, s["cells"], s["vols"], cb, cw
+                    )
+                )(jnp.moveaxis(fsrc, -1, 0))
             r[t] = r_t
 
         # ---- membrane Robin + coupling terms --------------------------------
@@ -277,12 +313,13 @@ class KNPSystem:
                         self.sub[bs.sub_tag]["n_dofs"], jq, fd, ar, fb, fw
                     )
                 )(jnp.asarray(nq))
-            return r
+            return {t: self.reduce(v) for t, v in r.items()}
 
         from ..ops import quadrature as quad
 
         fb_np, fw_np = quad.facet_rule(self.geom.dim)
-        fb, fw = jnp.asarray(fb_np), jnp.asarray(fw_np)
+        fb = jnp.asarray(fb_np, dtype=self.dtype)
+        fw = jnp.asarray(fw_np, dtype=self.dtype)
         for m, sp in self.mem.items():
             ct = sp["cell_tag"]
             # traces of all ions at facet quadrature points, both sides
@@ -332,7 +369,7 @@ class KNPSystem:
                     sp["facet_idofs"], sp["areas"], fb, fw,
                 )
             )(C_i, g_i)
-        return r
+        return {t: self.reduce(v) for t, v in r.items()}
 
 
 def create_functions_knp(geom: DiscreteGeometry, ions: List[Ion], dtype=jnp.float64):

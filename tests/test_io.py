@@ -1,0 +1,69 @@
+"""I/O tests: XDMF mesh round-trip, time-series output, checkpoint/resume."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples" / "idealized"))
+
+from knpemi_tpu.mesh import unit_square_mms_mesh, idealized_3d_mesh
+from knpemi_tpu.io import (
+    read_mesh, write_mesh, TimeSeriesWriter,
+    save_checkpoint, load_checkpoint,
+)
+
+
+@pytest.mark.parametrize("make", [lambda: unit_square_mms_mesh(6),
+                                  lambda: idealized_3d_mesh(0, l=1)])
+def test_xdmf_mesh_roundtrip(tmp_path, make):
+    mesh = make()
+    p = tmp_path / "mesh.xdmf"
+    write_mesh(p, mesh)
+    back = read_mesh(p)
+    np.testing.assert_allclose(back.points, mesh.points)
+    np.testing.assert_array_equal(back.cells, mesh.cells)
+    np.testing.assert_array_equal(back.cell_tags, mesh.cell_tags)
+    # facet tags are matched through sorted vertex tuples
+    np.testing.assert_array_equal(
+        np.sort(back.facet_tags[back.facet_tags > 0]),
+        np.sort(mesh.facet_tags[mesh.facet_tags > 0]),
+    )
+    # exact per-facet equality (facet enumeration is deterministic)
+    np.testing.assert_array_equal(back.facet_tags, mesh.facet_tags)
+
+
+def test_timeseries_writer(tmp_path):
+    mesh = unit_square_mms_mesh(4)
+    w = TimeSeriesWriter(tmp_path / "out.xdmf", mesh.points, mesh.cells)
+    for i in range(3):
+        w.write(0.1 * i, {"phi": np.full(mesh.n_points, float(i))})
+    w.close()
+    import h5py
+
+    with h5py.File(tmp_path / "out.h5", "r") as h5:
+        assert np.allclose(h5["/Function/phi/2"][...], 2.0)
+    assert (tmp_path / "out.xdmf").exists()
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    from run_2d import build_simulation
+
+    sim = build_simulation(resolution=1)
+    s = sim.init_state()
+    s, _, _ = sim.run(s, 5)
+    save_checkpoint(tmp_path / "ck.npz", s, note=42)
+    loaded, meta = load_checkpoint(tmp_path / "ck.npz")
+    assert int(meta["note"]) == 42
+    assert int(loaded.step) == 5
+    # resume both and compare bit-exactly after 5 more steps
+    a, _, _ = sim.run(s, 5)
+    b, _, _ = sim.run(loaded, 5)
+    for tag in a.c:
+        np.testing.assert_array_equal(np.asarray(a.c[tag]), np.asarray(b.c[tag]))
+    for m in a.ode_states:
+        np.testing.assert_array_equal(
+            np.asarray(a.ode_states[m]), np.asarray(b.ode_states[m])
+        )
+    assert float(a.t) == float(b.t)
