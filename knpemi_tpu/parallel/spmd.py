@@ -121,7 +121,7 @@ class SpmdSimulation:
         ksys = sim.knp_sys.local_view(sub_arrays, mem_arrays, psum)
         emi_solver = EMISolver(
             esys, rtol=sim.opts.rtol_emi, atol=sim.opts.atol_emi,
-            maxiter=sim.opts.maxiter,
+            maxiter=sim.opts.maxiter, mg=sim.emi_solver.mg,
         )
         knp_solver = KNPSolver(
             ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,

@@ -65,7 +65,7 @@ def cg(
     # (f32 runs cannot reach the f64 tolerances the reference uses; the
     # extra digits are roundoff noise — see SolverOptions docs)
     eps = jnp.finfo(b.dtype).eps
-    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 20 * eps)
+    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 4 * eps)
 
     r0 = project(b - A(x0))
     z0 = project(M(r0))

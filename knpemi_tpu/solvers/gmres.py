@@ -42,7 +42,7 @@ def gmres(
 
     # floor the relative tolerance at the dtype's attainable residual
     eps = jnp.finfo(b.dtype).eps
-    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 20 * eps)
+    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 4 * eps)
 
     r0 = b - A(x0)
     # PETSc KSPConvergedDefault semantics: ||r|| < max(rtol*||b||, atol)
