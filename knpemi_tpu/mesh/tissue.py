@@ -48,9 +48,11 @@ def split_membrane_x_slabs(mesh: Mesh, cell_tag: int, cuts, tags):
 
 def two_cell_tissue_mesh(resolution: int = 0, L: float = 5.0) -> Mesh:
     """ECS box (L um)^3 with one embedded glial cell (tag 1) whose membrane
-    carries tags 5/6/7 split at x = L*2/5 and x = L*3/5."""
+    carries tags 5/6/7 split at x = 2 um and x = 3 um.  The cell sits at
+    y,z in [1, 2] um so the reference drivers' ECS source box
+    (x,y in [2.1, 2.9], z in [2.1, 2.5] um) lies in the ECS next to it."""
     n = 20 * 2**resolution
-    cell = ((0.5 * UM, 2.0 * UM, 2.0 * UM), (4.5 * UM, 3.0 * UM, 3.0 * UM), 1)
+    cell = ((0.5 * UM, 1.0 * UM, 1.0 * UM), (4.5 * UM, 2.0 * UM, 2.0 * UM), 1)
     mesh = _build(
         n, n, n, (0, 0, 0), (L * UM, L * UM, L * UM), [cell]
     )

@@ -67,6 +67,7 @@ class Simulation:
         source_gate: Optional[Callable] = None,
         splitting_scheme: bool = True,
         dtype=jnp.float64,
+        use_pallas: Optional[bool] = None,
     ):
         self.geom = geom
         self.ions = ions
@@ -75,8 +76,24 @@ class Simulation:
         self.mem_models = {mm.tag: mm for mm in mem_models}
         opts = solver_options or SolverOptions()
         self.opts = opts
-        self.emi_sys = EMISystem(geom, ions, params, splitting_scheme, dtype=dtype)
-        self.knp_sys = KNPSystem(geom, ions, params, splitting_scheme, dtype=dtype)
+        if use_pallas is None:
+            # the blocked one-hot-matmul assembly targets the TPU MXU;
+            # XLA kernels are faster on CPU
+            import os
+
+            env = os.environ.get("KNPEMI_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:
+                use_pallas = jax.devices()[0].platform == "tpu"
+        self.emi_sys = EMISystem(
+            geom, ions, params, splitting_scheme, dtype=dtype,
+            use_pallas=use_pallas,
+        )
+        self.knp_sys = KNPSystem(
+            geom, ions, params, splitting_scheme, dtype=dtype,
+            use_pallas=use_pallas,
+        )
         self.emi_solver = EMISolver(
             self.emi_sys, direct=opts.direct, rtol=opts.rtol_emi,
             atol=opts.atol_emi, maxiter=opts.maxiter,

@@ -162,9 +162,11 @@ def solve_knp_direct(system, c, phi, phi_M, I_ch=None, source_gate=1.0):
         b = np.asarray(rhs[t])
         X = np.zeros_like(b)
         for k in range(system.n_solved):
-            A = assemble_knp_csr(
-                system, t, k, None if gradphi is None else np.asarray(gradphi[t])
-            )
+            gp = None
+            if gradphi is not None:
+                g = gradphi[t]
+                gp = np.asarray(g["cell"] if isinstance(g, dict) else g)
+            A = assemble_knp_csr(system, t, k, gp)
             X[k] = spla.spsolve(A.tocsc(), b[k])
         out[t] = X
     return out

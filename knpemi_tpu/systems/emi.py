@@ -68,6 +68,8 @@ class EMISystem:
         mms: Optional[EMIMMSData] = None,
         reduce: Optional[callable] = None,
         dtype=jnp.float64,
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         # `reduce` is the cross-device reduction applied to every assembled
         # vector (identity on a single device; lax.psum(...,'cells') under
@@ -125,6 +127,33 @@ class EMISystem:
             (self.n,), 1.0 / np.sqrt(self.n), dtype=dtype
         )
 
+        # blocked (Pallas) assembly path: one-hot-matmul windows replace
+        # XLA gather/scatter on TPU (ops/pallas_assembly.py)
+        self.use_pallas = False
+        import jax as _jax
+
+        self.pallas_interpret = (
+            pallas_interpret or _jax.devices()[0].platform != "tpu"
+        )
+        self.blocked = {}
+        if use_pallas:
+            from ..ops import pallas_assembly as PA
+
+            ok = True
+            for t, sd in geom.subdomains.items():
+                bk = PA.build_blocking(
+                    sd.cells, sd.grads, sd.vols, sd.n_dofs
+                )
+                if bk is None:
+                    ok = False
+                    break
+                self.blocked[t] = dict(
+                    bk=bk,
+                    grads=jnp.asarray(bk.grads, dtype=dtype),
+                    vols=jnp.asarray(bk.vols, dtype=dtype),
+                )
+            self.use_pallas = ok
+
     # ------------------------------------------------------------------
     def local_view(self, sub, mem, reduce):
         """Shallow copy whose geometry dicts are (sharded) local arrays and
@@ -140,6 +169,7 @@ class EMISystem:
             m: dict(self.mem[m], **mem[m]) for m in self.mem
         }
         new.reduce = reduce
+        new.use_pallas = False  # SPMD path shards the XLA kernels
         return new
 
     # ------------------------------------------------------------------
@@ -172,10 +202,19 @@ class EMISystem:
         ys = {}
         for t in self.tags:
             s = self.sub[t]
-            ys[t] = K.stiffness_apply(
-                s["n_dofs"], xs[t], s["cells"], s["grads"], s["vols"],
-                coef_vertex=kappa[t],
-            )
+            if self.use_pallas:
+                from ..ops import pallas_assembly as PA
+
+                blk = self.blocked[t]
+                ys[t] = PA.emi_stiffness_blocked(
+                    xs[t], kappa[t], blk["bk"], blk["grads"], blk["vols"],
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                ys[t] = K.stiffness_apply(
+                    s["n_dofs"], xs[t], s["cells"], s["grads"], s["vols"],
+                    coef_vertex=kappa[t],
+                )
         C_phi = self.params.C_phi
         for m, sp in self.mem.items():
             ct = sp["cell_tag"]

@@ -81,6 +81,8 @@ class KNPSystem:
         mms: Optional[KNPMMSData] = None,
         reduce: Optional[callable] = None,
         dtype=jnp.float64,
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         self.geom = geom
         self.ions = ions
@@ -146,12 +148,47 @@ class KNPSystem:
             for t in self.tags
         }
 
+        self.use_pallas = False
+        self.pallas_interpret = (
+            pallas_interpret or jax.devices()[0].platform != "tpu"
+        )
+        self.blocked = {}
+        if use_pallas:
+            from ..ops import pallas_assembly as PA
+
+            ok = True
+            for t, sd in geom.subdomains.items():
+                bk = PA.build_blocking(sd.cells, sd.grads, sd.vols, sd.n_dofs)
+                if bk is None:
+                    ok = False
+                    break
+                self.blocked[t] = dict(
+                    bk=bk,
+                    grads=jnp.asarray(bk.grads, dtype=dtype),
+                    vols=jnp.asarray(bk.vols, dtype=dtype),
+                    cells_global=jnp.asarray(bk.cells_global),
+                )
+            self.use_pallas = ok
+
     # ------------------------------------------------------------------
     def gradphi_cells(self, phi: Dict[int, jnp.ndarray]) -> Dict[int, jnp.ndarray]:
-        return {
-            t: K.cell_gradients(phi[t], self.sub[t]["cells"], self.sub[t]["grads"])
-            for t in self.tags
-        }
+        """Per-tag drift context: cell-layout grad(phi), plus the blocked
+        layout when the Pallas path is active."""
+        out = {}
+        for t in self.tags:
+            ctx = dict(
+                cell=K.cell_gradients(
+                    phi[t], self.sub[t]["cells"], self.sub[t]["grads"]
+                )
+            )
+            if self.use_pallas:
+                blk = self.blocked[t]
+                xe = phi[t][blk["cells_global"]]  # (NB, Bpad, k)
+                ctx["blocked"] = jnp.einsum(
+                    "bckd,bck->bcd", blk["grads"], xe
+                )
+            out[t] = ctx
+        return out
 
     def local_view(self, sub, mem, reduce):
         """Shallow copy with (sharded) local geometry arrays and a cross-
@@ -162,11 +199,28 @@ class KNPSystem:
         new.sub = {t: dict(self.sub[t], **sub[t]) for t in self.tags}
         new.mem = {m: dict(self.mem[m], **mem[m]) for m in self.mem}
         new.reduce = reduce
+        new.use_pallas = False  # SPMD path shards the XLA kernels
         return new
 
-    def matvec_one(self, tag: int, x: jnp.ndarray, gradphi_cell, D, z):
-        """LHS action for a single (subdomain, ion) block."""
-        one = self._one_matvec(tag, gradphi_cell)
+    def matvec_one(self, tag: int, x: jnp.ndarray, gradphi, D, z):
+        """LHS action for a single (subdomain, ion) block.  ``gradphi`` is
+        the per-tag context from :meth:`gradphi_cells`."""
+        if self.use_pallas and self.mms is None:
+            from ..ops import pallas_assembly as PA
+
+            blk = self.blocked[tag]
+            acts = PA.knp_actions_blocked(
+                x, blk["bk"], blk["grads"], blk["vols"], gradphi["blocked"],
+                interpret=self.pallas_interpret,
+            )  # (n, 3): mass, stiffness, drift
+            psi = self.params.psi
+            y = (
+                acts[:, 0] / self.params.dt
+                + D * acts[:, 1]
+                + z * psi * D * acts[:, 2]
+            )
+            return self.reduce(y)
+        one = self._one_matvec(tag, gradphi["cell"] if isinstance(gradphi, dict) else gradphi)
         return one(x, D, z)
 
     def _one_matvec(self, tag: int, gradphi_cell):
@@ -204,23 +258,24 @@ class KNPSystem:
 
         return one
 
-    def matvec(self, tag: int, X: jnp.ndarray, gradphi_cell: jnp.ndarray):
+    def matvec(self, tag: int, X: jnp.ndarray, gradphi):
         """Batched LHS action for one subdomain: X (N_solved, n) -> (N_solved, n).
 
-        For MMS, gradphi_cell is ignored and the exact-phi quadrature drift
-        is used instead.
+        For MMS, the drift uses the exact-phi quadrature path instead.
         """
-        one = self._one_matvec(tag, gradphi_cell)
+        gp = gradphi["cell"] if isinstance(gradphi, dict) else gradphi
+        one = self._one_matvec(tag, gp)
         return jax.vmap(one)(X, self.D[tag], self.z_solved)
 
-    def diag(self, tag: int, gradphi_cell: jnp.ndarray) -> jnp.ndarray:
+    def diag(self, tag: int, gradphi) -> jnp.ndarray:
         """Batched Jacobi diagonal (N_solved, n)."""
+        gp = gradphi["cell"] if isinstance(gradphi, dict) else gradphi
         s = self.sub[tag]
         dt, psi = self.params.dt, self.params.psi
         md = K.mass_diag(s["n_dofs"], s["cells"], s["vols"], 1.0 / dt)
         sd = K.stiffness_diag(s["n_dofs"], s["cells"], s["grads"], s["vols"])
         dd = K.drift_diag(
-            s["n_dofs"], s["cells"], s["grads"], s["vols"], gradphi_cell
+            s["n_dofs"], s["cells"], s["grads"], s["vols"], gp
         )
         D = self.D[tag][:, None]
         z = self.z_solved[:, None]
