@@ -151,7 +151,7 @@ def _emi_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lidx = lidx_ref[0]  # (C, k)
+    lidx = lidx_ref[0, 0]  # (C, k)
     C, k = lidx.shape
     W = xw_ref.shape[1]
     E = _onehot(lidx.reshape(-1), W, xw_ref.dtype)  # (C*k, W)
@@ -161,8 +161,8 @@ def _emi_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, out_ref):
     )  # (C*k, 2): [x, kappa]
     xe = G[:, 0].reshape(C, k)
     ke = G[:, 1].reshape(C, k)
-    grads = grads_ref[0]  # (C, k, dim)
-    vols = vols_ref[0]  # (C,)
+    grads = grads_ref[0, 0]  # (C, k, dim)
+    vols = vols_ref[0, 0, 0]  # (C,)
     kbar = ke.mean(axis=1)
     gx = jnp.einsum("ckd,ck->cd", grads, xe)
     ye = jnp.einsum("cd,ckd->ck", gx, grads) * (vols * kbar)[:, None]
@@ -170,7 +170,7 @@ def _emi_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, out_ref):
         E, ye.reshape(-1), (((0,), (0,)), ((), ())), precision=HIGHEST,
         preferred_element_type=xw_ref.dtype,
     )  # (W,)
-    out_ref[0, :] += yw
+    out_ref[0, 0, :] += yw
 
 
 def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
@@ -182,7 +182,7 @@ def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lidx = lidx_ref[0]
+    lidx = lidx_ref[0, 0]
     C, k = lidx.shape
     W = xw_ref.shape[1]
     E = _onehot(lidx.reshape(-1), W, xw_ref.dtype)
@@ -190,9 +190,9 @@ def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
         E, xw_ref[0, :, 0], (((1,), (0,)), ((), ())), precision=HIGHEST,
         preferred_element_type=xw_ref.dtype,
     ).reshape(C, k)
-    grads = grads_ref[0]
-    vols = vols_ref[0]
-    wc = wcell_ref[0]  # (C, dim)
+    grads = grads_ref[0, 0]
+    vols = vols_ref[0, 0, 0]
+    wc = wcell_ref[0, 0]  # (C, dim)
     # mass: vol/(k(k+1)) * (sum + x)
     s = xe.sum(axis=1, keepdims=True)
     m_e = (vols / (k * (k + 1)))[:, None] * (s + xe)
@@ -211,39 +211,51 @@ def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
 
 
 def _grid_call(kernel, bk: BlockedCells, xw, cell_args, out_cols, interpret):
+    """Launch over grid (NB, n_chunks).  TPU lowering requires the last
+    two dims of every block to equal the array dims (or be tile-aligned),
+    so all per-chunk arrays are reshaped to expose (chunk dims...) fully
+    and grid indexing happens on leading dims only."""
     NB, C, W = bk.n_blocks, bk.C, bk.W
     k = bk.k
+    NCH = bk.n_chunks
     nvars = xw.shape[-1]
+    dim = cell_args[0].shape[-1]
+    lidx = jnp.asarray(bk.lidx).reshape(NB, NCH, C, k)
+    grads = cell_args[0].reshape(NB, NCH, C, k, dim)
+    vols = cell_args[1].reshape(NB, NCH, 1, C)
     in_specs = [
         pl.BlockSpec((1, W, nvars), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, k), lambda b, c: (b, c, 0),
+        pl.BlockSpec((1, 1, C, k), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, k, cell_args[0].shape[-1]),
-                     lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda b, c: (b, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C, k, dim), lambda b, c: (b, c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, C), lambda b, c: (b, c, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [xw, jnp.asarray(bk.lidx), cell_args[0], cell_args[1]]
+    args = [xw, lidx, grads, vols]
     if len(cell_args) > 2:  # drift vector field
+        wdim = cell_args[2].shape[-1]
         in_specs.append(
-            pl.BlockSpec((1, C, cell_args[2].shape[-1]),
-                         lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, C, wdim), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM)
         )
-        args.append(cell_args[2])
+        args.append(cell_args[2].reshape(NB, NCH, C, wdim))
     out_shape = (
-        jax.ShapeDtypeStruct((NB, W), xw.dtype)
+        jax.ShapeDtypeStruct((NB, 1, W), xw.dtype)
         if out_cols == 1
         else jax.ShapeDtypeStruct((NB, W, out_cols), xw.dtype)
     )
     out_spec = (
-        pl.BlockSpec((1, W), lambda b, c: (b, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, 1, W), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
         if out_cols == 1
         else pl.BlockSpec((1, W, out_cols), lambda b, c: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(NB, bk.n_chunks),
+        grid=(NB, NCH),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
@@ -252,6 +264,7 @@ def _grid_call(kernel, bk: BlockedCells, xw, cell_args, out_cols, interpret):
         ),
         interpret=interpret,
     )(*args)
+    return out.reshape(NB, W) if out_cols == 1 else out
 
 
 def emi_stiffness_blocked(x, kappa, bk: BlockedCells, grads, vols, interpret=False):

@@ -54,9 +54,18 @@ def strength_filter(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 
 
 def vanek_aggregate(Af: sp.csr_matrix):
-    """Root-node aggregation on the strength graph (Vanek phases 1-3)."""
+    """Root-node aggregation on the strength graph (Vanek phases 1-3).
+
+    Uses the native host toolkit when available (the Python sweep is
+    O(n) interpreted; native/host_toolkit.cpp is ~100x faster at scale).
+    """
     Af = Af.tocsr()
     n = Af.shape[0]
+    from ..utils import native
+
+    res = native.vanek_aggregate(Af.indptr, Af.indices, n)
+    if res is not None:
+        return res
     agg = np.full(n, -1, dtype=np.int64)
     nc = 0
     indptr, indices = Af.indptr, Af.indices
