@@ -9,27 +9,28 @@ This module replaces both memory operations with MXU matmuls:
   so the cells of a dof-stride block [b*S, (b+1)*S) touch only a compact
   dof window [b*S, b*S + W);
 * window vectors are built with reshape+roll (contiguous, fast), and the
-  in-window gather/scatter become ONE-HOT MATMULS computed in VMEM:
-      gather   x_e = E @ x_w        E[c*4+k, j] = (cells[c,k]-b*S == j)
-      scatter  y_w = E^T @ y_e
-  The one-hot never exists in HBM; FLOP overhead (W/4 per useful value)
-  is the MXU's sweet spot;
-* the per-window partial results are combined by shifted adds
-  (reshape+roll again) — no scatter anywhere.
+  in-window gather/scatter become ONE-HOT MATMULS computed in VMEM, one
+  per local vertex slot j:
+      E_j[w, c] = (cells[c, j] - b*S == w)          (W, C) one-hot
+      gather    G_j = xw @ E_j                      (nvars, C)
+      scatter   yw += E_j @ ye_j^T                  (W, m)
+  The one-hot never exists in HBM; the FLOP overhead is MXU-friendly;
+* per-window partial outputs are combined by shifted adds (reshape+roll
+  again) — no scatter anywhere.
 
-The kernels compute the three primitive element actions (mass, stiffness,
-drift) in one pass so per-ion operators are linear combinations formed
-outside (KNP), and the kappa-weighted stiffness directly (EMI).
+Mosaic constraints shape the layout: every in-kernel tensor is strictly
+2-D with a 128-aligned lane dimension (C cells or W window), there are
+no reshapes or 1-D vectors inside the kernel, and all matmuls use
+Precision.HIGHEST (the MXU default truncates f32 inputs to bf16).
 
-Falls back transparently to the XLA path when blocking fails (pathological
-Morton spread) or off-TPU; `interpret=True` makes the same kernels run
-(slowly) on CPU for tests.
+Falls back transparently to the XLA path when blocking fails
+(pathological Morton spread) or off-TPU; ``interpret=True`` runs the
+same kernels on CPU for tests.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -43,23 +44,28 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 @dataclasses.dataclass
 class BlockedCells:
-    """Host-side blocking of one subdomain's cells (see build_blocking)."""
+    """Host-side blocking of one subdomain's cells (see build_blocking).
+
+    Transposed, chunked layouts (lanes = C cells per chunk):
+      lidx_t : (NB, NCH, k, C) window-local dof per vertex slot
+      grads_t: (NB, NCH, k*dim, C) basis gradients, slot-major rows
+      vols_t : (NB, NCH, 1, C)
+      cells_global: (NB, NCH, C, k) global dof ids (coefficient prep)
+    """
 
     n_dofs: int
-    S: int  # dof stride per block
-    W: int  # window size = (n_spill + 1) * S
+    S: int
+    W: int
     n_spill: int
     n_blocks: int
-    C: int  # cells per kernel chunk
-    n_chunks: int  # chunks per block (Bmax = C * n_chunks)
-    lidx: np.ndarray  # (NB, Bmax, k) window-local dof ids; dummies -> 0
-    grads: np.ndarray  # (NB, Bmax, k, dim)
-    vols: np.ndarray  # (NB, Bmax); dummies -> 0
-    cells_global: np.ndarray  # (NB, Bmax, k) global dof ids (dummies -> 0)
-
-    @property
-    def k(self):
-        return self.lidx.shape[-1]
+    C: int
+    n_chunks: int
+    k: int
+    dim: int
+    lidx_t: np.ndarray
+    grads_t: np.ndarray
+    vols_t: np.ndarray
+    cells_global: np.ndarray
 
 
 def build_blocking(
@@ -74,6 +80,7 @@ def build_blocking(
     """Assign each cell to the block of its min dof; returns None if the
     Morton dof spread forces windows beyond `max_spill` strides."""
     k = cells.shape[1]
+    dim = grads.shape[-1]
     cmin = cells.min(axis=1)
     spread = int((cells.max(axis=1) - cmin).max()) if len(cells) else 0
     n_spill = -(-max(spread, 1) // S)
@@ -85,14 +92,15 @@ def build_blocking(
     order = np.argsort(bid, kind="stable")
     counts = np.bincount(bid, minlength=NB)
     Bmax = int(counts.max())
-    # chunk size bounded by the one-hot VMEM budget: 4*C*k*W bytes
-    C = max(64, min(512, vmem_budget // (4 * k * W)))
+    # chunk size bounded by the per-slot one-hot VMEM cost (W*C floats,
+    # k slots are sequential); lanes must be 128-aligned
+    C = max(128, min(512, vmem_budget // (4 * W)))
     C = int(2 ** np.floor(np.log2(C)))
     n_chunks = -(-Bmax // C)
     Bpad = C * n_chunks
 
     lidx = np.zeros((NB, Bpad, k), np.int32)
-    g_b = np.zeros((NB, Bpad, k, grads.shape[-1]), grads.dtype)
+    g_b = np.zeros((NB, Bpad, k, dim), grads.dtype)
     v_b = np.zeros((NB, Bpad), vols.dtype)
     cg_b = np.zeros((NB, Bpad, k), np.int32)
     starts = np.zeros(NB + 1, np.int64)
@@ -105,9 +113,20 @@ def build_blocking(
         v_b[b, :m] = vols[ids]
         cg_b[b, :m] = cells[ids]
     assert lidx.min() >= 0 and lidx.max() < W
+
+    lidx_t = lidx.reshape(NB, n_chunks, C, k).transpose(0, 1, 3, 2)
+    grads_t = (
+        g_b.reshape(NB, n_chunks, C, k, dim)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(NB, n_chunks, k * dim, C)
+    )
+    vols_t = v_b.reshape(NB, n_chunks, 1, C)
+    cg_t = cg_b.reshape(NB, n_chunks, C, k)
     return BlockedCells(
         n_dofs=n_dofs, S=S, W=W, n_spill=n_spill, n_blocks=NB, C=C,
-        n_chunks=n_chunks, lidx=lidx, grads=g_b, vols=v_b, cells_global=cg_b,
+        n_chunks=n_chunks, k=k, dim=dim, lidx_t=np.ascontiguousarray(lidx_t),
+        grads_t=np.ascontiguousarray(grads_t), vols_t=vols_t,
+        cells_global=cg_t,
     )
 
 
@@ -115,19 +134,19 @@ def build_blocking(
 # window build / combine (XLA, reshape+roll only)
 # ---------------------------------------------------------------------------
 def make_windows(xs, bk: BlockedCells):
-    """Stack fields (list of (n,) arrays) into windows (NB, W, nvars)."""
+    """Stack fields (list of (n,) arrays) into windows (NB, nvars, W)."""
     NB, S, ns = bk.n_blocks, bk.S, bk.n_spill
-    cols = []
+    rows = []
     for x in xs:
         xp = jnp.pad(x, (0, NB * S - bk.n_dofs))
         xr = xp.reshape(NB, S)
         parts = [xr] + [jnp.roll(xr, -j, axis=0) for j in range(1, ns + 1)]
-        cols.append(jnp.concatenate(parts, axis=1))  # (NB, W)
-    return jnp.stack(cols, axis=-1)  # (NB, W, nvars)
+        rows.append(jnp.concatenate(parts, axis=1))  # (NB, W)
+    return jnp.stack(rows, axis=1)  # (NB, nvars, W)
 
 
 def combine_windows(yw, bk: BlockedCells):
-    """(NB, W[, m]) partial outputs -> (n[, m]) via shifted adds."""
+    """(NB, W, m) partial outputs -> (n, m) via shifted adds."""
     NB, S, ns = bk.n_blocks, bk.S, bk.n_spill
     acc = yw[:, :S]
     for j in range(1, ns + 1):
@@ -136,41 +155,61 @@ def combine_windows(yw, bk: BlockedCells):
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# kernels (strictly 2-D in-kernel tensors)
 # ---------------------------------------------------------------------------
-def _onehot(lidx_flat, W, dtype):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (lidx_flat.shape[0], W), 1)
-    return (lidx_flat[:, None] == iota).astype(dtype)
+def _slot_onehot(lidx_row, W, C, dtype):
+    """E_j (W, C): one-hot of a slot's window-local dofs; lidx_row (1, C)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    return (iota == lidx_row).astype(dtype)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), precision=HIGHEST,
+        preferred_element_type=a.dtype,
+    )
 
 
 def _emi_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, out_ref):
-    """kappa-weighted stiffness: out_w += E^T ye, ye from element math."""
+    """kappa-weighted stiffness action into the window (out (W, 1))."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lidx = lidx_ref[0, 0]  # (C, k)
-    C, k = lidx.shape
-    W = xw_ref.shape[1]
-    E = _onehot(lidx.reshape(-1), W, xw_ref.dtype)  # (C*k, W)
-    G = jax.lax.dot_general(
-        E, xw_ref[0], (((1,), (0,)), ((), ())), precision=HIGHEST,
-        preferred_element_type=xw_ref.dtype,
-    )  # (C*k, 2): [x, kappa]
-    xe = G[:, 0].reshape(C, k)
-    ke = G[:, 1].reshape(C, k)
-    grads = grads_ref[0, 0]  # (C, k, dim)
-    vols = vols_ref[0, 0, 0]  # (C,)
-    kbar = ke.mean(axis=1)
-    gx = jnp.einsum("ckd,ck->cd", grads, xe)
-    ye = jnp.einsum("cd,ckd->ck", gx, grads) * (vols * kbar)[:, None]
-    yw = jax.lax.dot_general(
-        E, ye.reshape(-1), (((0,), (0,)), ((), ())), precision=HIGHEST,
-        preferred_element_type=xw_ref.dtype,
-    )  # (W,)
-    out_ref[0, 0, :] += yw
+    xw = xw_ref[0]  # (2, W): rows [x, kappa]
+    lidx = lidx_ref[0, 0]  # (k, C)
+    grads = grads_ref[0, 0]  # (k*dim, C)
+    vols = vols_ref[0, 0]  # (1, C)
+    k = lidx.shape[0]
+    dim = grads.shape[0] // k
+    W = xw.shape[1]
+    C = lidx.shape[1]
+
+    Es = []
+    xe = []  # per-slot (1, C)
+    kbar = jnp.zeros_like(vols)
+    for j in range(k):
+        E = _slot_onehot(lidx[j : j + 1, :], W, C, xw.dtype)  # (W, C)
+        G = _dot(xw, E, ((1,), (0,)))  # (2, C)
+        Es.append(E)
+        xe.append(G[0:1, :])
+        kbar = kbar + G[1:2, :]
+    kbar = kbar / k
+
+    w = vols * kbar
+    ye = [jnp.zeros_like(vols) for _ in range(k)]
+    for d in range(dim):
+        gx = jnp.zeros_like(vols)
+        for j in range(k):
+            gx = gx + grads[j * dim + d : j * dim + d + 1, :] * xe[j]
+        for j in range(k):
+            ye[j] = ye[j] + gx * grads[j * dim + d : j * dim + d + 1, :]
+    acc = out_ref[0]  # (W, 1)
+    for j in range(k):
+        acc = acc + _dot(Es[j], (ye[j] * w), ((1,), (1,)))  # (W, 1)
+    out_ref[0] = acc
 
 
 def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
@@ -182,100 +221,97 @@ def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lidx = lidx_ref[0, 0]
-    C, k = lidx.shape
-    W = xw_ref.shape[1]
-    E = _onehot(lidx.reshape(-1), W, xw_ref.dtype)
-    xe = jax.lax.dot_general(
-        E, xw_ref[0, :, 0], (((1,), (0,)), ((), ())), precision=HIGHEST,
-        preferred_element_type=xw_ref.dtype,
-    ).reshape(C, k)
-    grads = grads_ref[0, 0]
-    vols = vols_ref[0, 0, 0]
-    wc = wcell_ref[0, 0]  # (C, dim)
-    # mass: vol/(k(k+1)) * (sum + x)
-    s = xe.sum(axis=1, keepdims=True)
-    m_e = (vols / (k * (k + 1)))[:, None] * (s + xe)
-    # stiffness
-    gx = jnp.einsum("ckd,ck->cd", grads, xe)
-    s_e = jnp.einsum("cd,ckd->ck", gx, grads) * vols[:, None]
-    # drift: vol * mean(x) * (w . g_i)
-    wg = jnp.einsum("cd,ckd->ck", wc, grads)
-    d_e = (vols * xe.mean(axis=1))[:, None] * wg
-    ye = jnp.stack([m_e, s_e, d_e], axis=-1).reshape(C * k, 3)
-    yw = jax.lax.dot_general(
-        E, ye, (((0,), (0,)), ((), ())), precision=HIGHEST,
-        preferred_element_type=xw_ref.dtype,
-    )  # (W, 3)
-    out_ref[0] += yw
+    xw = xw_ref[0]  # (1, W)
+    lidx = lidx_ref[0, 0]  # (k, C)
+    grads = grads_ref[0, 0]  # (k*dim, C)
+    vols = vols_ref[0, 0]  # (1, C)
+    wc = wcell_ref[0, 0]  # (dim, C)
+    k = lidx.shape[0]
+    dim = grads.shape[0] // k
+    W = xw.shape[1]
+    C = lidx.shape[1]
+
+    Es = []
+    xe = []
+    xsum = jnp.zeros_like(vols)
+    for j in range(k):
+        E = _slot_onehot(lidx[j : j + 1, :], W, C, xw.dtype)
+        G = _dot(xw, E, ((1,), (0,)))  # (1, C)
+        Es.append(E)
+        xe.append(G)
+        xsum = xsum + G
+
+    gx = [jnp.zeros_like(vols) for _ in range(dim)]
+    for d in range(dim):
+        for j in range(k):
+            gx[d] = gx[d] + grads[j * dim + d : j * dim + d + 1, :] * xe[j]
+
+    m_scale = vols / (k * (k + 1))
+    d_scale = vols * (xsum / k)
+    acc = out_ref[0]  # (W, 3)
+    for j in range(k):
+        m_j = m_scale * (xsum + xe[j])  # (1, C)
+        s_j = jnp.zeros_like(vols)
+        wg_j = jnp.zeros_like(vols)
+        for d in range(dim):
+            g_row = grads[j * dim + d : j * dim + d + 1, :]
+            s_j = s_j + gx[d] * g_row
+            wg_j = wg_j + wc[d : d + 1, :] * g_row
+        s_j = s_j * vols
+        d_j = d_scale * wg_j
+        ye3 = jnp.concatenate([m_j, s_j, d_j], axis=0)  # (3, C)
+        acc = acc + _dot(Es[j], ye3, ((1,), (1,)))  # (W, 3)
+    out_ref[0] = acc
 
 
-def _grid_call(kernel, bk: BlockedCells, xw, cell_args, out_cols, interpret):
-    """Launch over grid (NB, n_chunks).  TPU lowering requires the last
-    two dims of every block to equal the array dims (or be tile-aligned),
-    so all per-chunk arrays are reshaped to expose (chunk dims...) fully
-    and grid indexing happens on leading dims only."""
+def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
     NB, C, W = bk.n_blocks, bk.C, bk.W
-    k = bk.k
-    NCH = bk.n_chunks
-    nvars = xw.shape[-1]
-    dim = cell_args[0].shape[-1]
-    lidx = jnp.asarray(bk.lidx).reshape(NB, NCH, C, k)
-    grads = cell_args[0].reshape(NB, NCH, C, k, dim)
-    vols = cell_args[1].reshape(NB, NCH, 1, C)
+    k, dim, NCH = bk.k, bk.dim, bk.n_chunks
+    nvars = xw.shape[1]
     in_specs = [
-        pl.BlockSpec((1, W, nvars), lambda b, c: (b, 0, 0),
+        pl.BlockSpec((1, nvars, W), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C, k), lambda b, c: (b, c, 0, 0),
+        pl.BlockSpec((1, 1, k, C), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C, k, dim), lambda b, c: (b, c, 0, 0, 0),
+        pl.BlockSpec((1, 1, k * dim, C), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, C), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xw, lidx, grads, vols]
-    if len(cell_args) > 2:  # drift vector field
-        wdim = cell_args[2].shape[-1]
+    args = [xw, jnp.asarray(bk.lidx_t), extra[0], extra[1]]
+    if len(extra) > 2:  # drift vector rows (NB, NCH, dim, C)
         in_specs.append(
-            pl.BlockSpec((1, 1, C, wdim), lambda b, c: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, dim, C), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        args.append(cell_args[2].reshape(NB, NCH, C, wdim))
-    out_shape = (
-        jax.ShapeDtypeStruct((NB, 1, W), xw.dtype)
-        if out_cols == 1
-        else jax.ShapeDtypeStruct((NB, W, out_cols), xw.dtype)
-    )
-    out_spec = (
-        pl.BlockSpec((1, 1, W), lambda b, c: (b, 0, 0),
-                     memory_space=pltpu.VMEM)
-        if out_cols == 1
-        else pl.BlockSpec((1, W, out_cols), lambda b, c: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-    )
+        args.append(extra[2])
     out = pl.pallas_call(
         kernel,
         grid=(NB, NCH),
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=pl.BlockSpec((1, W, out_cols), lambda b, c: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, W, out_cols), xw.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(NB, W) if out_cols == 1 else out
+    return out
 
 
-def emi_stiffness_blocked(x, kappa, bk: BlockedCells, grads, vols, interpret=False):
+def emi_stiffness_blocked(x, kappa, bk: BlockedCells, grads_t, vols_t,
+                          interpret=False):
     """y = (kappa-weighted stiffness) @ x for one subdomain."""
     xw = make_windows([x, kappa], bk)
-    yw = _grid_call(_emi_kernel, bk, xw, (grads, vols), 1, interpret)
-    return combine_windows(yw, bk)
+    yw = _grid_call(_emi_kernel, bk, xw, (grads_t, vols_t), 1, interpret)
+    return combine_windows(yw, bk)[:, 0]
 
 
-def knp_actions_blocked(x, bk: BlockedCells, grads, vols, w_cell, interpret=False):
-    """Returns (mass(x), stiffness(x), drift(x)) stacked as (n, 3)."""
+def knp_actions_blocked(x, bk: BlockedCells, grads_t, vols_t, w_rows,
+                        interpret=False):
+    """Returns (n, 3): [mass(x), stiffness(x), drift(x)] actions."""
     xw = make_windows([x], bk)
-    yw = _grid_call(_knp_kernel, bk, xw, (grads, vols, w_cell), 3, interpret)
+    yw = _grid_call(_knp_kernel, bk, xw, (grads_t, vols_t, w_rows), 3,
+                    interpret)
     return combine_windows(yw, bk)

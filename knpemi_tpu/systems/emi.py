@@ -149,8 +149,8 @@ class EMISystem:
                     break
                 self.blocked[t] = dict(
                     bk=bk,
-                    grads=jnp.asarray(bk.grads, dtype=dtype),
-                    vols=jnp.asarray(bk.vols, dtype=dtype),
+                    grads=jnp.asarray(bk.grads_t, dtype=dtype),
+                    vols=jnp.asarray(bk.vols_t, dtype=dtype),
                 )
             self.use_pallas = ok
 

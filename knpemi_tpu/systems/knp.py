@@ -164,8 +164,8 @@ class KNPSystem:
                     break
                 self.blocked[t] = dict(
                     bk=bk,
-                    grads=jnp.asarray(bk.grads, dtype=dtype),
-                    vols=jnp.asarray(bk.vols, dtype=dtype),
+                    grads=jnp.asarray(bk.grads_t, dtype=dtype),
+                    vols=jnp.asarray(bk.vols_t, dtype=dtype),
                     cells_global=jnp.asarray(bk.cells_global),
                 )
             self.use_pallas = ok
@@ -183,10 +183,13 @@ class KNPSystem:
             )
             if self.use_pallas:
                 blk = self.blocked[t]
-                xe = phi[t][blk["cells_global"]]  # (NB, Bpad, k)
-                ctx["blocked"] = jnp.einsum(
-                    "bckd,bck->bcd", blk["grads"], xe
+                bk = blk["bk"]
+                pe = phi[t][blk["cells_global"]]  # (NB, NCH, C, k)
+                gr = blk["grads"].reshape(
+                    bk.n_blocks, bk.n_chunks, bk.k, bk.dim, bk.C
                 )
+                # w_rows[b,h,d,c] = sum_j grads[b,h,j,d,c] * phi(cell vertex j)
+                ctx["blocked"] = jnp.einsum("bhjdc,bhcj->bhdc", gr, pe)
             out[t] = ctx
         return out
 
