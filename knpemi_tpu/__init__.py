@@ -28,11 +28,20 @@ Public API mirrors the reference package surface
 
 import os
 
-# The KNP-EMI problem requires double precision: concentrations enter
-# log-ratios (Nernst potentials), solver rtols go down to 1e-7 and the
-# implicit-Euler mass term scales with 1/dt ~ 1e4 (SURVEY.md section 7,
-# "Numerical parity").  Allow opt-out for experiments.
-if os.environ.get("KNPEMI_X64", "1") != "0":
+# Precision policy.  The KNP-EMI problem benefits from double precision
+# (log-ratio Nernst potentials, rtol 1e-7 solves), so x64 is enabled by
+# default on CPU.  On TPU there is no native f64, the compute path runs
+# f32 with equilibrated solvers (see solvers/api.py) — and enabling the
+# global x64 flag breaks Mosaic's Pallas lowering even for all-f32
+# kernels, so x64 stays OFF when a TPU platform is requested.
+# KNPEMI_X64=1/0 overrides either way.
+_x64_env = os.environ.get("KNPEMI_X64")
+if _x64_env is None:
+    _platforms = os.environ.get("JAX_PLATFORMS", "")
+    _enable_x64 = not any(p in _platforms for p in ("tpu", "axon"))
+else:
+    _enable_x64 = _x64_env != "0"
+if _enable_x64:
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -151,10 +151,15 @@ class DiscreteGeometry:
 
 
 def _morton_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
-    """Argsort of points along a Z-order (Morton) space-filling curve."""
+    """Argsort of points along a Z-order (Morton) space-filling curve.
+
+    All axes are quantized with a COMMON scale (the largest span): with
+    per-axis scales, elongated domains put short-axis neighbor steps into
+    high key bits and spatially adjacent dofs land far apart in the
+    order, which destroys the windowed-assembly locality."""
     lo = coords.min(axis=0)
     hi = coords.max(axis=0)
-    span = np.where(hi > lo, hi - lo, 1.0)
+    span = float(np.max(hi - lo)) or 1.0
     q = ((coords - lo) / span * (2**bits - 1)).astype(np.uint64)
     dim = coords.shape[1]
     key = np.zeros(len(coords), dtype=np.uint64)

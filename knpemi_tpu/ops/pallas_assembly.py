@@ -8,20 +8,27 @@ This module replaces both memory operations with MXU matmuls:
 * dofs are Morton-ordered and cells sorted by min-dof (ops/geometry.py),
   so the cells of a dof-stride block [b*S, (b+1)*S) touch only a compact
   dof window [b*S, b*S + W);
-* window vectors are built with reshape+roll (contiguous, fast), and the
-  in-window gather/scatter become ONE-HOT MATMULS computed in VMEM, one
-  per local vertex slot j:
-      E_j[w, c] = (cells[c, j] - b*S == w)          (W, C) one-hot
-      gather    G_j = xw @ E_j                      (nvars, C)
-      scatter   yw += E_j @ ye_j^T                  (W, m)
-  The one-hot never exists in HBM; the FLOP overhead is MXU-friendly;
-* per-window partial outputs are combined by shifted adds (reshape+roll
-  again) — no scatter anywhere.
+* window vectors are built with reshape+roll (contiguous, fast);
+* the in-window gather/scatter become a SINGLE one-hot matmul per
+  direction, with the cell-vertex slots FLATTENED INTO THE LANE AXIS:
+      lanes of a chunk = [slot0 cells | slot1 cells | ... ]   (k*C wide)
+      E[w, j*C+c] = (cells[c, j] - b*S == w)                  (W, k*C)
+      gather    xe = x_row @ E                                (1, k*C)
+      scatter   yw = E @ ye^T                                 (W, m)
+  Cross-slot reductions (element sums) are 128-aligned lane-block adds.
+  This shape is what Mosaic lowers cleanly: strictly 2-D values, no
+  sublane-offset slicing of intermediate results, no loop-carried
+  multi-buffer state (all of which fail to legalize);
+* per-window partial outputs are combined by shifted adds — no scatter
+  anywhere;
+* all matmuls use Precision.HIGHEST (the MXU default truncates f32
+  inputs to bf16, which would corrupt the gathered values).
 
-Mosaic constraints shape the layout: every in-kernel tensor is strictly
-2-D with a 128-aligned lane dimension (C cells or W window), there are
-no reshapes or 1-D vectors inside the kernel, and all matmuls use
-Precision.HIGHEST (the MXU default truncates f32 inputs to bf16).
+For the EMI operator the per-cell conductivity weight (vols * mean
+kappa) is prepared ONCE PER SOLVE in XLA (kappa is constant across CG
+iterations), so the kernel gathers only x.  The KNP kernel emits the
+three primitive actions [mass, stiffness, drift] in one pass; per-ion
+operators are linear combinations formed outside.
 
 Falls back transparently to the XLA path when blocking fails
 (pathological Morton spread) or off-TPU; ``interpret=True`` runs the
@@ -46,11 +53,12 @@ HIGHEST = jax.lax.Precision.HIGHEST
 class BlockedCells:
     """Host-side blocking of one subdomain's cells (see build_blocking).
 
-    Transposed, chunked layouts (lanes = C cells per chunk):
-      lidx_t : (NB, NCH, k, C) window-local dof per vertex slot
-      grads_t: (NB, NCH, k*dim, C) basis gradients, slot-major rows
-      vols_t : (NB, NCH, 1, C)
-      cells_global: (NB, NCH, C, k) global dof ids (coefficient prep)
+    Lane-flattened chunk layouts (lane axis = k*C, slot-blocked):
+      lidx_lane : (NB, NCH, 1, k*C) int32 window-local dof ids
+      grads_lane: (NB, NCH, dim, k*C) basis gradient components
+      vols_lane : (NB, NCH, 1, k*C) cell volumes (tiled across slots)
+      cells_chunk: (NB, NCH, C, k) global dof ids (per-solve coefficient
+                   preparation: kappa means, grad(phi))
     """
 
     n_dofs: int
@@ -62,10 +70,15 @@ class BlockedCells:
     n_chunks: int
     k: int
     dim: int
-    lidx_t: np.ndarray
-    grads_t: np.ndarray
-    vols_t: np.ndarray
-    cells_global: np.ndarray
+    lidx_lane: np.ndarray
+    grads_lane: np.ndarray
+    vols_lane: np.ndarray
+    cells_chunk: np.ndarray
+    # outlier cells whose Morton dof spread exceeds the window: processed
+    # by the XLA scatter fallback (a small tail, typically <=1 percent)
+    rest_cells: np.ndarray = None
+    rest_grads: np.ndarray = None
+    rest_vols: np.ndarray = None
 
 
 def build_blocking(
@@ -75,26 +88,36 @@ def build_blocking(
     n_dofs: int,
     S: int = 512,
     max_spill: int = 7,
-    vmem_budget: int = 6 * 1024 * 1024,
+    vmem_budget: int = 4 * 1024 * 1024,
 ) -> Optional[BlockedCells]:
     """Assign each cell to the block of its min dof; returns None if the
     Morton dof spread forces windows beyond `max_spill` strides."""
     k = cells.shape[1]
     dim = grads.shape[-1]
     cmin = cells.min(axis=1)
-    spread = int((cells.max(axis=1) - cmin).max()) if len(cells) else 0
+    spreads = cells.max(axis=1) - cmin
+    # split off outlier cells that would blow up the window size
+    limit = max_spill * S
+    outlier = spreads > limit
+    if outlier.mean() > 0.10:
+        return None  # blocking not worthwhile; use the XLA path
+    rest_cells = cells[outlier]
+    rest_grads = grads[outlier]
+    rest_vols = vols[outlier]
+    cells = cells[~outlier]
+    grads = grads[~outlier]
+    vols = vols[~outlier]
+    cmin = cmin[~outlier]
+    spread = int(spreads[~outlier].max()) if (~outlier).any() else 0
     n_spill = -(-max(spread, 1) // S)
-    if n_spill > max_spill:
-        return None
     W = (n_spill + 1) * S
     NB = -(-n_dofs // S)
     bid = cmin // S
     order = np.argsort(bid, kind="stable")
     counts = np.bincount(bid, minlength=NB)
     Bmax = int(counts.max())
-    # chunk size bounded by the per-slot one-hot VMEM cost (W*C floats,
-    # k slots are sequential); lanes must be 128-aligned
-    C = max(128, min(512, vmem_budget // (4 * W)))
+    # lanes per chunk: the one-hot costs 4*W*k*C bytes of VMEM
+    C = max(128, min(512, vmem_budget // (4 * W * k)))
     C = int(2 ** np.floor(np.log2(C)))
     n_chunks = -(-Bmax // C)
     Bpad = C * n_chunks
@@ -114,20 +137,37 @@ def build_blocking(
         cg_b[b, :m] = cells[ids]
     assert lidx.min() >= 0 and lidx.max() < W
 
-    lidx_t = lidx.reshape(NB, n_chunks, C, k).transpose(0, 1, 3, 2)
-    grads_t = (
-        g_b.reshape(NB, n_chunks, C, k, dim)
-        .transpose(0, 1, 3, 4, 2)
-        .reshape(NB, n_chunks, k * dim, C)
+    # chunk, then flatten slots into lanes: lane j*C + c = (cell c, slot j)
+    lidx_lane = (
+        lidx.reshape(NB, n_chunks, C, k)
+        .transpose(0, 1, 3, 2)
+        .reshape(NB, n_chunks, 1, k * C)
     )
-    vols_t = v_b.reshape(NB, n_chunks, 1, C)
-    cg_t = cg_b.reshape(NB, n_chunks, C, k)
+    grads_lane = (
+        g_b.reshape(NB, n_chunks, C, k, dim)
+        .transpose(0, 1, 4, 3, 2)
+        .reshape(NB, n_chunks, dim, k * C)
+    )
+    v_ch = v_b.reshape(NB, n_chunks, C)
+    vols_lane = np.tile(v_ch, (1, 1, k)).reshape(NB, n_chunks, 1, k * C)
+    cells_chunk = cg_b.reshape(NB, n_chunks, C, k)
     return BlockedCells(
         n_dofs=n_dofs, S=S, W=W, n_spill=n_spill, n_blocks=NB, C=C,
-        n_chunks=n_chunks, k=k, dim=dim, lidx_t=np.ascontiguousarray(lidx_t),
-        grads_t=np.ascontiguousarray(grads_t), vols_t=vols_t,
-        cells_global=cg_t,
+        n_chunks=n_chunks, k=k, dim=dim,
+        lidx_lane=np.ascontiguousarray(lidx_lane),
+        grads_lane=np.ascontiguousarray(grads_lane),
+        vols_lane=np.ascontiguousarray(vols_lane),
+        cells_chunk=np.ascontiguousarray(cells_chunk),
+        rest_cells=rest_cells.astype(np.int32),
+        rest_grads=rest_grads,
+        rest_vols=rest_vols,
     )
+
+
+def tile_lanes(per_cell, k):
+    """(NB, NCH, C) per-cell values -> (NB, NCH, 1, k*C) slot-tiled lanes."""
+    t = jnp.concatenate([per_cell] * k, axis=-1)
+    return t[:, :, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -147,22 +187,16 @@ def make_windows(xs, bk: BlockedCells):
 
 def combine_windows(yw, bk: BlockedCells):
     """(NB, W, m) partial outputs -> (n, m) via shifted adds."""
-    NB, S, ns = bk.n_blocks, bk.S, bk.n_spill
+    S, ns = bk.S, bk.n_spill
     acc = yw[:, :S]
     for j in range(1, ns + 1):
         acc = acc + jnp.roll(yw[:, j * S : (j + 1) * S], j, axis=0)
-    return acc.reshape((NB * S,) + yw.shape[2:])[: bk.n_dofs]
+    return acc.reshape((bk.n_blocks * S,) + yw.shape[2:])[: bk.n_dofs]
 
 
 # ---------------------------------------------------------------------------
-# kernels (strictly 2-D in-kernel tensors)
+# kernels
 # ---------------------------------------------------------------------------
-def _slot_onehot(lidx_row, W, C, dtype):
-    """E_j (W, C): one-hot of a slot's window-local dofs; lidx_row (1, C)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-    return (iota == lidx_row).astype(dtype)
-
-
 def _dot(a, b, dims):
     return jax.lax.dot_general(
         a, b, (dims, ((), ())), precision=HIGHEST,
@@ -170,118 +204,111 @@ def _dot(a, b, dims):
     )
 
 
-def _emi_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, out_ref):
-    """kappa-weighted stiffness action into the window (out (W, 1))."""
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    xw = xw_ref[0]  # (2, W): rows [x, kappa]
-    lidx = lidx_ref[0, 0]  # (k, C)
-    grads = grads_ref[0, 0]  # (k*dim, C)
-    vols = vols_ref[0, 0]  # (1, C)
-    k = lidx.shape[0]
-    dim = grads.shape[0] // k
-    W = xw.shape[1]
-    C = lidx.shape[1]
-
-    Es = []
-    xe = []  # per-slot (1, C)
-    kbar = jnp.zeros_like(vols)
-    for j in range(k):
-        E = _slot_onehot(lidx[j : j + 1, :], W, C, xw.dtype)  # (W, C)
-        G = _dot(xw, E, ((1,), (0,)))  # (2, C)
-        Es.append(E)
-        xe.append(G[0:1, :])
-        kbar = kbar + G[1:2, :]
-    kbar = kbar / k
-
-    w = vols * kbar
-    ye = [jnp.zeros_like(vols) for _ in range(k)]
-    for d in range(dim):
-        gx = jnp.zeros_like(vols)
-        for j in range(k):
-            gx = gx + grads[j * dim + d : j * dim + d + 1, :] * xe[j]
-        for j in range(k):
-            ye[j] = ye[j] + gx * grads[j * dim + d : j * dim + d + 1, :]
-    acc = out_ref[0]  # (W, 1)
-    for j in range(k):
-        acc = acc + _dot(Es[j], (ye[j] * w), ((1,), (1,)))  # (W, 1)
-    out_ref[0] = acc
+def _lane_sum(row, k, C):
+    """Sum the k slot-blocks of a (1, k*C) row -> (1, C)."""
+    out = row[:, 0:C]
+    for j in range(1, k):
+        out = out + row[:, j * C : (j + 1) * C]
+    return out
 
 
-def _knp_kernel(xw_ref, lidx_ref, grads_ref, vols_ref, wcell_ref, out_ref):
-    """Primitive actions for the KNP operator: out (W, 3) columns =
-    [mass(x), stiffness(x), drift(x; w_cell)]."""
-    c = pl.program_id(1)
+def _lane_tile(row_c, k):
+    """Tile a (1, C) row into (1, k*C)."""
+    return jnp.concatenate([row_c] * k, axis=1)
 
-    @pl.when(c == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
-    xw = xw_ref[0]  # (1, W)
-    lidx = lidx_ref[0, 0]  # (k, C)
-    grads = grads_ref[0, 0]  # (k*dim, C)
-    vols = vols_ref[0, 0]  # (1, C)
-    wc = wcell_ref[0, 0]  # (dim, C)
-    k = lidx.shape[0]
-    dim = grads.shape[0] // k
-    W = xw.shape[1]
-    C = lidx.shape[1]
+def _make_emi_kernel(k: int):
+    def _emi_kernel(x_ref, lidx_ref, grads_ref, wv_ref, out_ref):
+        """Weighted-stiffness action; wv = vols * mean(kappa) per cell,
+        lane-tiled (prepared once per solve)."""
+        c = pl.program_id(1)
 
-    Es = []
-    xe = []
-    xsum = jnp.zeros_like(vols)
-    for j in range(k):
-        E = _slot_onehot(lidx[j : j + 1, :], W, C, xw.dtype)
-        G = _dot(xw, E, ((1,), (0,)))  # (1, C)
-        Es.append(E)
-        xe.append(G)
-        xsum = xsum + G
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    gx = [jnp.zeros_like(vols) for _ in range(dim)]
-    for d in range(dim):
-        for j in range(k):
-            gx[d] = gx[d] + grads[j * dim + d : j * dim + d + 1, :] * xe[j]
+        xr = x_ref[0]  # (1, W)
+        li = lidx_ref[0, 0]  # (1, KC)
+        gr = grads_ref[0, 0]  # (dim, KC)
+        wv = wv_ref[0, 0]  # (1, KC)
+        W = xr.shape[1]
+        KC = li.shape[1]
+        dim = gr.shape[0]
+        C = KC // k
 
-    m_scale = vols / (k * (k + 1))
-    d_scale = vols * (xsum / k)
-    acc = out_ref[0]  # (W, 3)
-    for j in range(k):
-        m_j = m_scale * (xsum + xe[j])  # (1, C)
-        s_j = jnp.zeros_like(vols)
-        wg_j = jnp.zeros_like(vols)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
+        E = (iota == li).astype(xr.dtype)  # (W, KC)
+        xe = _dot(xr, E, ((1,), (0,)))  # (1, KC)
+        ye = jnp.zeros_like(xe)
         for d in range(dim):
-            g_row = grads[j * dim + d : j * dim + d + 1, :]
-            s_j = s_j + gx[d] * g_row
-            wg_j = wg_j + wc[d : d + 1, :] * g_row
-        s_j = s_j * vols
-        d_j = d_scale * wg_j
-        ye3 = jnp.concatenate([m_j, s_j, d_j], axis=0)  # (3, C)
-        acc = acc + _dot(Es[j], ye3, ((1,), (1,)))  # (W, 3)
-    out_ref[0] = acc
+            gd = gr[d : d + 1, :]
+            gx = _lane_sum(gd * xe, k, C)  # (1, C)
+            ye = ye + _lane_tile(gx, k) * gd
+        ye = ye * wv
+        out_ref[0] += _dot(E, ye, ((1,), (1,)))  # (W, 1)
+
+    return _emi_kernel
+
+
+def _make_knp_kernel(k: int):
+    def _knp_kernel(x_ref, lidx_ref, grads_ref, vols_ref, wc_ref, out_ref):
+        """Primitive actions for the KNP operator: out (W, 3) columns =
+        [mass(x), stiffness(x), drift(x; grad phi)]."""
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xr = x_ref[0]  # (1, W)
+        li = lidx_ref[0, 0]  # (1, KC)
+        gr = grads_ref[0, 0]  # (dim, KC)
+        vols = vols_ref[0, 0]  # (1, KC)
+        wc = wc_ref[0, 0]  # (dim, KC) grad(phi) lane rows
+        W = xr.shape[1]
+        KC = li.shape[1]
+        dim = gr.shape[0]
+        C = KC // k
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
+        E = (iota == li).astype(xr.dtype)
+        xe = _dot(xr, E, ((1,), (0,)))  # (1, KC)
+        xsum = _lane_tile(_lane_sum(xe, k, C), k)  # (1, KC)
+
+        m_row = (vols / (k * (k + 1))) * (xsum + xe)
+        s_row = jnp.zeros_like(xe)
+        wg = jnp.zeros_like(xe)
+        for d in range(dim):
+            gd = gr[d : d + 1, :]
+            gx = _lane_tile(_lane_sum(gd * xe, k, C), k)
+            s_row = s_row + gx * gd
+            wg = wg + wc[d : d + 1, :] * gd
+        s_row = s_row * vols
+        d_row = vols * (xsum / k) * wg
+        ye3 = jnp.concatenate([m_row, s_row, d_row], axis=0)  # (3, KC)
+        out_ref[0] += _dot(E, ye3, ((1,), (1,)))  # (W, 3)
+
+    return _knp_kernel
 
 
 def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
-    NB, C, W = bk.n_blocks, bk.C, bk.W
-    k, dim, NCH = bk.k, bk.dim, bk.n_chunks
+    NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
+    NCH = bk.n_chunks
     nvars = xw.shape[1]
     in_specs = [
         pl.BlockSpec((1, nvars, W), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k, C), lambda b, c: (b, c, 0, 0),
+        pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k * dim, C), lambda b, c: (b, c, 0, 0),
+        pl.BlockSpec((1, 1, bk.dim, KC), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, C), lambda b, c: (b, c, 0, 0),
+        pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xw, jnp.asarray(bk.lidx_t), extra[0], extra[1]]
-    if len(extra) > 2:  # drift vector rows (NB, NCH, dim, C)
+    args = [xw, jnp.asarray(bk.lidx_lane), extra[0], extra[1]]
+    if len(extra) > 2:  # drift vector rows (NB, NCH, dim, KC)
         in_specs.append(
-            pl.BlockSpec((1, 1, dim, C), lambda b, c: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, bk.dim, KC), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(extra[2])
@@ -300,18 +327,76 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
     return out
 
 
-def emi_stiffness_blocked(x, kappa, bk: BlockedCells, grads_t, vols_t,
+def emi_stiffness_blocked(x, prep, bk: BlockedCells, grads_lane,
                           interpret=False):
-    """y = (kappa-weighted stiffness) @ x for one subdomain."""
-    xw = make_windows([x, kappa], bk)
-    yw = _grid_call(_emi_kernel, bk, xw, (grads_t, vols_t), 1, interpret)
-    return combine_windows(yw, bk)[:, 0]
-
-
-def knp_actions_blocked(x, bk: BlockedCells, grads_t, vols_t, w_rows,
-                        interpret=False):
-    """Returns (n, 3): [mass(x), stiffness(x), drift(x)] actions."""
+    """y = (kappa-weighted stiffness) @ x; ``prep`` is the per-solve
+    prepared coefficient from :func:`prepare_emi_weight`."""
+    wvols_lane, rest_w = prep
     xw = make_windows([x], bk)
-    yw = _grid_call(_knp_kernel, bk, xw, (grads_t, vols_t, w_rows), 3,
-                    interpret)
-    return combine_windows(yw, bk)
+    yw = _grid_call(_make_emi_kernel(bk.k), bk, xw,
+                    (grads_lane, wvols_lane), 1, interpret)
+    y = combine_windows(yw, bk)[:, 0]
+    if len(bk.rest_cells):
+        from . import kernels as K
+
+        y = y + K.stiffness_apply(
+            bk.n_dofs, x, jnp.asarray(bk.rest_cells),
+            jnp.asarray(bk.rest_grads, x.dtype),
+            jnp.asarray(bk.rest_vols, x.dtype), coef_cell=rest_w,
+        )
+    return y
+
+
+def knp_actions_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
+                        interpret=False):
+    """Returns (n, 3): [mass(x), stiffness(x), drift(x)] actions.
+    ``drift`` is the per-solve context from :func:`prepare_knp_drift`."""
+    wc_lane, rest_w = drift
+    xw = make_windows([x], bk)
+    yw = _grid_call(_make_knp_kernel(bk.k), bk, xw,
+                    (grads_lane, vols_lane, wc_lane), 3, interpret)
+    y = combine_windows(yw, bk)
+    if len(bk.rest_cells):
+        from . import kernels as K
+
+        rc = jnp.asarray(bk.rest_cells)
+        rg = jnp.asarray(bk.rest_grads, x.dtype)
+        rv = jnp.asarray(bk.rest_vols, x.dtype)
+        m = K.mass_apply(bk.n_dofs, x, rc, rv)
+        st = K.stiffness_apply(bk.n_dofs, x, rc, rg, rv)
+        dr = K.drift_apply(bk.n_dofs, x, rc, rg, rv, rest_w)
+        y = y + jnp.stack([m, st, dr], axis=-1)
+    return y
+
+
+def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane):
+    """Per-solve EMI coefficient: (vols * mean-vertex-kappa) lane-tiled,
+    plus the outlier cells' mean-kappa.  One XLA gather of kappa per
+    solve (not per matvec)."""
+    ke = kappa[bk.cells_chunk]  # (NB, NCH, C, k)
+    kbar = ke.mean(axis=-1)  # (NB, NCH, C)
+    rest_w = (
+        kappa[jnp.asarray(bk.rest_cells)].mean(axis=-1)
+        if len(bk.rest_cells)
+        else None
+    )
+    return vols_lane * tile_lanes(kbar, bk.k), rest_w
+
+
+def prepare_knp_drift(phi, bk: BlockedCells, grads_lane):
+    """Per-solve drift rows: grad(phi) per cell as (NB, NCH, dim, k*C)
+    lane-tiled, plus the outlier cells' grad(phi).  One XLA gather of phi
+    per solve."""
+    pe = phi[bk.cells_chunk]  # (NB, NCH, C, k)
+    gl = grads_lane.reshape(
+        bk.n_blocks, bk.n_chunks, bk.dim, bk.k, bk.C
+    )
+    pe_t = jnp.moveaxis(pe, -1, 2)  # (NB, NCH, k, C)
+    w = jnp.einsum("bhdkc,bhkc->bhdc", gl, pe_t)  # (NB, NCH, dim, C)
+    rest_w = None
+    if len(bk.rest_cells):
+        rest_w = jnp.einsum(
+            "ckd,ck->cd", jnp.asarray(bk.rest_grads, phi.dtype),
+            phi[jnp.asarray(bk.rest_cells)],
+        )
+    return jnp.concatenate([w] * bk.k, axis=-1), rest_w

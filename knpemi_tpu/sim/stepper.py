@@ -157,7 +157,10 @@ class Simulation:
             phi_M=phi_M,
             ode_states=ode_states,
             ode_params=ode_params,
-            t=jnp.asarray(0.0, jnp.float64),
+            t=jnp.asarray(
+                0.0,
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+            ),
             step=jnp.asarray(0, jnp.int32),
             emi_iters=jnp.asarray(0, jnp.int32),
             knp_iters=jnp.asarray(0, jnp.int32),

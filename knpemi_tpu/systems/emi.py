@@ -149,8 +149,9 @@ class EMISystem:
                     break
                 self.blocked[t] = dict(
                     bk=bk,
-                    grads=jnp.asarray(bk.grads_t, dtype=dtype),
-                    vols=jnp.asarray(bk.vols_t, dtype=dtype),
+                    grads=jnp.asarray(bk.grads_lane, dtype=dtype),
+                    vols=jnp.asarray(bk.vols_lane, dtype=dtype),
+                    cells=jnp.asarray(bk.cells_chunk),
                 )
             self.use_pallas = ok
 
@@ -196,8 +197,28 @@ class EMISystem:
         return out
 
     # ------------------------------------------------------------------
-    def matvec_free(self, x: jnp.ndarray, kappa: Dict[int, jnp.ndarray]):
-        """A @ x without boundary-condition masking."""
+    def prepare(self, kappa: Dict[int, jnp.ndarray]) -> dict:
+        """Per-solve coefficient preparation: for the blocked (Pallas)
+        path, gather kappa once and form vols*mean-kappa lane rows so the
+        per-iteration kernel gathers only x."""
+        ctx = {"kappa": kappa}
+        if self.use_pallas:
+            from ..ops import pallas_assembly as PA
+
+            ctx["wv"] = {
+                t: PA.prepare_emi_weight(
+                    kappa[t], self.blocked[t]["bk"], self.blocked[t]["vols"]
+                )
+                for t in self.tags
+            }
+        return ctx
+
+    def matvec_free(self, x: jnp.ndarray, ctx):
+        """A @ x without boundary-condition masking.  ``ctx`` is either a
+        per-vertex kappa dict or the output of :meth:`prepare`."""
+        if not (isinstance(ctx, dict) and "kappa" in ctx):
+            ctx = self.prepare(ctx)
+        kappa = ctx["kappa"]
         xs = self.split(x)
         ys = {}
         for t in self.tags:
@@ -207,7 +228,7 @@ class EMISystem:
 
                 blk = self.blocked[t]
                 ys[t] = PA.emi_stiffness_blocked(
-                    xs[t], kappa[t], blk["bk"], blk["grads"], blk["vols"],
+                    xs[t], ctx["wv"][t], blk["bk"], blk["grads"],
                     interpret=self.pallas_interpret,
                 )
             else:
@@ -225,13 +246,13 @@ class EMISystem:
             ys[0] = ys[0].at[sp["facet_edofs"].reshape(-1)].add(-vals.reshape(-1))
         return self.reduce(self.flatten(ys))
 
-    def matvec(self, x: jnp.ndarray, kappa: Dict[int, jnp.ndarray]):
+    def matvec(self, x: jnp.ndarray, ctx):
         """Operator with symmetric Dirichlet elimination: identity on bc
         dofs, masked A on free dofs (CG-safe)."""
         if not self.has_bc:
-            return self.matvec_free(x, kappa)
+            return self.matvec_free(x, ctx)
         xm = x * self.bc_mask
-        y = self.matvec_free(xm, kappa)
+        y = self.matvec_free(xm, ctx)
         return y * self.bc_mask + x * (1.0 - self.bc_mask)
 
     def diag(self, kappa: Dict[int, jnp.ndarray]) -> jnp.ndarray:

@@ -164,9 +164,8 @@ class KNPSystem:
                     break
                 self.blocked[t] = dict(
                     bk=bk,
-                    grads=jnp.asarray(bk.grads_t, dtype=dtype),
-                    vols=jnp.asarray(bk.vols_t, dtype=dtype),
-                    cells_global=jnp.asarray(bk.cells_global),
+                    grads=jnp.asarray(bk.grads_lane, dtype=dtype),
+                    vols=jnp.asarray(bk.vols_lane, dtype=dtype),
                 )
             self.use_pallas = ok
 
@@ -182,14 +181,12 @@ class KNPSystem:
                 )
             )
             if self.use_pallas:
+                from ..ops import pallas_assembly as PA
+
                 blk = self.blocked[t]
-                bk = blk["bk"]
-                pe = phi[t][blk["cells_global"]]  # (NB, NCH, C, k)
-                gr = blk["grads"].reshape(
-                    bk.n_blocks, bk.n_chunks, bk.k, bk.dim, bk.C
+                ctx["blocked"] = PA.prepare_knp_drift(
+                    phi[t], blk["bk"], blk["grads"]
                 )
-                # w_rows[b,h,d,c] = sum_j grads[b,h,j,d,c] * phi(cell vertex j)
-                ctx["blocked"] = jnp.einsum("bhjdc,bhcj->bhdc", gr, pe)
             out[t] = ctx
         return out
 

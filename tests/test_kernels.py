@@ -69,7 +69,7 @@ def test_knp_matvec_matches_assembly(mesh_fn):
         Y = np.asarray(ksys.matvec(t, X, gp[t]))
         dmf = np.asarray(ksys.diag(t, gp[t]))
         for k in range(2):
-            Ak = D.assemble_knp_csr(ksys, t, k, np.asarray(gp[t]))
+            Ak = D.assemble_knp_csr(ksys, t, k, np.asarray(gp[t]["cell"]))
             scale = max(np.abs(Ak @ np.asarray(X[k])).max(), 1)
             np.testing.assert_allclose(Y[k], Ak @ np.asarray(X[k]), atol=1e-11 * scale)
             np.testing.assert_allclose(dmf[k], Ak.diagonal(), atol=1e-11 * scale)

@@ -18,6 +18,7 @@ from knpemi_tpu.mesh import unit_square_mms_mesh, idealized_3d_mesh
 from knpemi_tpu.ops.geometry import build_geometry
 from knpemi_tpu.ops.pallas_assembly import (
     build_blocking, emi_stiffness_blocked, knp_actions_blocked,
+    prepare_emi_weight,
 )
 from knpemi_tpu.ops import kernels as K
 
@@ -32,9 +33,10 @@ def test_blocked_kernels_match_xla(make):
         rng = np.random.default_rng(t)
         x = jnp.asarray(rng.standard_normal(sub.n_dofs), jnp.float32)
         kap = jnp.asarray(rng.uniform(1, 2, sub.n_dofs), jnp.float32)
-        g32 = jnp.asarray(bk.grads_t, jnp.float32)
-        v32 = jnp.asarray(bk.vols_t, jnp.float32)
-        y = emi_stiffness_blocked(x, kap, bk, g32, v32, interpret=True)
+        g32 = jnp.asarray(bk.grads_lane, jnp.float32)
+        v32 = jnp.asarray(bk.vols_lane, jnp.float32)
+        wv = prepare_emi_weight(kap, bk, v32)
+        y = emi_stiffness_blocked(x, wv, bk, g32, interpret=True)
         yref = K.stiffness_apply(
             sub.n_dofs, x, jnp.asarray(sub.cells),
             jnp.asarray(sub.grads, jnp.float32),
