@@ -71,11 +71,12 @@ class EMISolver:
             return sys_.split(x), jnp.int32(0)
 
         kappa = sys_.kappa(c)
+        ctx = sys_.prepare(kappa)  # once per solve (kappa gathers etc.)
         b = sys_.rhs(c, phi_M, I_ch)
         d = sys_.diag(kappa)
         x0_flat = None if x0 is None else sys_.flatten(x0)
         A_hat, b_hat, x0_hat, s = _equilibrate(
-            lambda v: sys_.matvec(v, kappa), b, d, x0_flat
+            lambda v: sys_.matvec(v, ctx), b, d, x0_flat
         )
         nullvec = sys_.nullvec
         if nullvec is not None:
