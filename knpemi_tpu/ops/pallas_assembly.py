@@ -88,7 +88,7 @@ def build_blocking(
     n_dofs: int,
     S: int = 512,
     max_spill: int = 7,
-    vmem_budget: int = 4 * 1024 * 1024,
+    vmem_budget: int = 3 * 1024 * 1024,
 ) -> Optional[BlockedCells]:
     """Assign each cell to the block of its min dof; returns None if the
     Morton dof spread forces windows beyond `max_spill` strides."""

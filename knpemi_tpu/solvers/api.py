@@ -202,11 +202,25 @@ class KNPSolver:
                 if x0 is None
                 else x0[t][: sys_.n_solved]
             )
-            res = jax.vmap(solve_one)(
-                rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved
-            )
-            out[t] = res.x
-            iters = jnp.maximum(iters, res.iters.max())
+            if getattr(sys_, "use_pallas", False):
+                # vmapping the Pallas kernel keeps every ion's blocks
+                # resident in VMEM at once; unroll instead (N_solved is 2)
+                xs, its = [], []
+                for kk in range(sys_.n_solved):
+                    res_k = solve_one(
+                        rhs[t][kk], diag[kk], x0_t[kk],
+                        sys_.D[t][kk], sys_.z_solved[kk],
+                    )
+                    xs.append(res_k.x)
+                    its.append(res_k.iters)
+                out[t] = jnp.stack(xs)
+                iters = jnp.maximum(iters, jnp.stack(its).max())
+            else:
+                res = jax.vmap(solve_one)(
+                    rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved
+                )
+                out[t] = res.x
+                iters = jnp.maximum(iters, res.iters.max())
         return out, iters
 
 

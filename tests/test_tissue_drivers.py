@@ -1,0 +1,70 @@
+"""Smoke tests for the tissue scenarios (benchmark + astrocyte drivers).
+
+A few coupled steps each on the synthetic tissue meshes: resting
+membranes stay at rest, the pulsed ECS source raises K+ once gated on,
+and all three membrane models of the benchmark's split glial membrane
+advance together."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_EX = Path(__file__).resolve().parents[1] / "examples"
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_benchmark_two_cell_scenario():
+    bench = _load("bench_driver", _EX / "benchmark" / "run_stim_duration.py")
+    sim = bench.build_simulation(0)
+    assert sorted(sim.mem_models) == [5, 6, 7]
+    st = sim.init_state()
+    K0 = float(st.c[0][0].max())
+    for _ in range(4):  # 0.4 ms; source gates on at t > 0.2
+        st = sim.step(st)
+    assert float(st.c[0][0].max()) > K0 + 1e-4, "K+ source must raise [K]_e"
+    for m in [5, 6, 7]:
+        pm = np.asarray(st.phi_M[m])
+        assert np.isfinite(pm).all()
+        assert -100.0 < pm.min() and pm.max() < 0.0
+
+def test_astrocyte_scenario_config():
+    astro = _load("astro_driver", _EX / "astrocyte" / "run_stim_duration.py")
+    from knpemi_tpu.sim.config import load_config
+
+    cfg = load_config(_EX / "astrocyte" / "config_files" / "baseline.yml")
+    assert cfg["Tstop"] == 300 and cfg["f_value"] == 97
+    sim = astro.build_simulation(cfg)
+    assert sorted(sim.geom.subdomains) == [0, 1, 2]
+    assert sorted(sim.geom.membranes) == [1, 2]
+    st = sim.init_state()
+    for _ in range(2):
+        st = sim.step(st)
+    # resting state before the source delay: membranes near rest
+    assert -80 < float(st.phi_M[1].mean()) < -70  # neuron (HH, mV)
+    assert -90 < float(st.phi_M[2].mean()) < -80  # glial (Kir, mV)
+    for tag in st.c:
+        assert float(st.c[tag].min()) > 0.0
+
+
+def test_pulsed_source_gate():
+    import jax.numpy as jnp
+    from knpemi_tpu.sim.config import pulsed_source_gate
+
+    gate = pulsed_source_gate(
+        dict(delay=1.0, period=10.0, pulse_width=1.0, end_time=100.0)
+    )
+    assert float(gate(jnp.asarray(0.5))) == 0.0  # before delay
+    assert float(gate(jnp.asarray(1.5))) == 1.0  # first pulse
+    assert float(gate(jnp.asarray(2.5))) == 0.0  # pulse over
+    assert float(gate(jnp.asarray(11.5))) == 1.0  # second pulse
+    assert float(gate(jnp.asarray(101.0))) == 0.0  # after end_time
