@@ -85,7 +85,12 @@ class Simulation:
             if env is not None:
                 use_pallas = env == "1"
             else:
-                use_pallas = jax.devices()[0].platform == "tpu"
+                # Mosaic cannot lower Pallas kernels with global x64 on:
+                # require TPU AND x64 disabled (see knpemi_tpu.__init__)
+                use_pallas = (
+                    jax.devices()[0].platform == "tpu"
+                    and not jax.config.jax_enable_x64
+                )
         self.emi_sys = EMISystem(
             geom, ions, params, splitting_scheme, dtype=dtype,
             use_pallas=use_pallas,
