@@ -42,10 +42,12 @@ D_NA, D_K, D_CL = 1.33e-9, 1.96e-9, 2.03e-9
 
 
 def default_dtype():
-    """f64 where cheap (CPU), f32 on TPU (no native f64 hardware; the f32
-    path matches f64 to ~1e-4 mV over a full action potential, see
-    tests/test_precision.py)."""
-    return jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    """f64 where available (CPU with x64 on), f32 on TPU (no native f64
+    hardware; the f32 path matches f64 to ~1e-4 mV over a full action
+    potential, see tests/test_precision.py)."""
+    if jax.devices()[0].platform == "tpu" or not jax.config.jax_enable_x64:
+        return jnp.float32
+    return jnp.float64
 
 
 def build_simulation(

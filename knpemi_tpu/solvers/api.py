@@ -204,17 +204,19 @@ class KNPSolver:
             )
             if getattr(sys_, "use_pallas", False):
                 # vmapping the Pallas kernel keeps every ion's blocks
-                # resident in VMEM at once; unroll instead (N_solved is 2)
-                xs, its = [], []
-                for kk in range(sys_.n_solved):
-                    res_k = solve_one(
-                        rhs[t][kk], diag[kk], x0_t[kk],
-                        sys_.D[t][kk], sys_.z_solved[kk],
-                    )
-                    xs.append(res_k.x)
-                    its.append(res_k.iters)
-                out[t] = jnp.stack(xs)
-                iters = jnp.maximum(iters, jnp.stack(its).max())
+                # resident in VMEM at once; scan sequentially instead
+                # (one traced GMRES+kernel instance, one ion resident)
+                def scan_body(carry, inp, t=t):
+                    b_row, d_row, x0_row, D_k, z_k = inp
+                    res_k = solve_one(b_row, d_row, x0_row, D_k, z_k)
+                    return carry, (res_k.x, res_k.iters)
+
+                _, (xs, its) = jax.lax.scan(
+                    scan_body, None,
+                    (rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved),
+                )
+                out[t] = xs
+                iters = jnp.maximum(iters, its.max())
             else:
                 res = jax.vmap(solve_one)(
                     rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved

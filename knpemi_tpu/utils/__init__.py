@@ -1,0 +1,3 @@
+from .logging import bcolors, log_step, Timer
+
+__all__ = ["bcolors", "log_step", "Timer"]
