@@ -116,9 +116,12 @@ def build_blocking(
     order = np.argsort(bid, kind="stable")
     counts = np.bincount(bid, minlength=NB)
     Bmax = int(counts.max())
-    # lanes per chunk: the one-hot costs 4*W*k*C bytes of VMEM
-    C = max(128, min(512, vmem_budget // (4 * W * k)))
+    # lanes per chunk: the one-hot costs 4*W*k*C bytes of VMEM; lane
+    # alignment needs k*C to be a multiple of 128
+    C = max(32, min(512, vmem_budget // (4 * W * k)))
     C = int(2 ** np.floor(np.log2(C)))
+    while (k * C) % 128:
+        C *= 2
     n_chunks = -(-Bmax // C)
     Bpad = C * n_chunks
 
@@ -321,6 +324,7 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
         out_shape=jax.ShapeDtypeStruct((NB, W, out_cols), xw.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
