@@ -45,6 +45,12 @@ if _enable_x64:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+else:
+    # On TPU, f32 dot_general defaults to bf16 MXU inputs; Krylov dot
+    # products and MG coarse solves need true f32 accumulation.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 __version__ = "0.1.0"
 
