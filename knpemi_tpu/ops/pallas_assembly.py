@@ -88,7 +88,7 @@ def build_blocking(
     n_dofs: int,
     S: int = 512,
     max_spill: int = 7,
-    vmem_budget: int = 3 * 1024 * 1024,
+    vmem_budget: int = 12 * 1024 * 1024,
 ) -> Optional[BlockedCells]:
     """Assign each cell to the block of its min dof; returns None if the
     Morton dof spread forces windows beyond `max_spill` strides."""
@@ -254,15 +254,21 @@ def _make_emi_kernel(k: int):
 
 
 def _make_knp_kernel(k: int):
-    def _knp_kernel(x_ref, lidx_ref, grads_ref, vols_ref, wc_ref, out_ref):
-        """Primitive actions for the KNP operator: out (W, 3) columns =
-        [mass(x), stiffness(x), drift(x; grad phi)]."""
+    def _knp_kernel(coef_ref, x_ref, lidx_ref, grads_ref, vols_ref, wc_ref,
+                    out_ref):
+        """Full KNP operator action in one pass: y = (1/dt) mass(x)
+        + D stiffness(x) + z psi D drift(x).  The per-ion scalars arrive
+        in SMEM as coef = [1/dt, D, z*psi*D], so one (W, 1) scatter
+        suffices (a 3-column output triples the MXU-starved scatter)."""
         c = pl.program_id(1)
 
         @pl.when(c == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        dt_inv = coef_ref[0]
+        D = coef_ref[1]
+        zpsiD = coef_ref[2]
         xr = x_ref[0]  # (1, W)
         li = lidx_ref[0, 0]  # (1, KC)
         gr = grads_ref[0, 0]  # (dim, KC)
@@ -286,19 +292,29 @@ def _make_knp_kernel(k: int):
             gx = _lane_tile(_lane_sum(gd * xe, k, C), k)
             s_row = s_row + gx * gd
             wg = wg + wc[d : d + 1, :] * gd
-        s_row = s_row * vols
-        d_row = vols * (xsum / k) * wg
-        ye3 = jnp.concatenate([m_row, s_row, d_row], axis=0)  # (3, KC)
-        out_ref[0] += _dot(E, ye3, ((1,), (1,)))  # (W, 3)
+        ye = (
+            dt_inv * m_row
+            + (D * vols) * s_row
+            + (zpsiD * vols) * ((xsum / k) * wg)
+        )
+        out_ref[0] += _dot(E, ye, ((1,), (1,)))  # (W, 1)
 
     return _knp_kernel
 
 
-def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
+def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret,
+               scalars=None):
     NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
     NCH = bk.n_chunks
     nvars = xw.shape[1]
-    in_specs = [
+    in_specs = []
+    pre_args = []
+    if scalars is not None:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+        )
+        pre_args.append(scalars)
+    in_specs += [
         pl.BlockSpec((1, nvars, W), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
@@ -308,7 +324,7 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret):
         pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xw, jnp.asarray(bk.lidx_lane), extra[0], extra[1]]
+    args = pre_args + [xw, jnp.asarray(bk.lidx_lane), extra[0], extra[1]]
     if len(extra) > 2:  # drift vector rows (NB, NCH, dim, KC)
         in_specs.append(
             pl.BlockSpec((1, 1, bk.dim, KC), lambda b, c: (b, c, 0, 0),
@@ -351,25 +367,33 @@ def emi_stiffness_blocked(x, prep, bk: BlockedCells, grads_lane,
     return y
 
 
-def knp_actions_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
-                        interpret=False):
-    """Returns (n, 3): [mass(x), stiffness(x), drift(x)] actions.
-    ``drift`` is the per-solve context from :func:`prepare_knp_drift`."""
+def knp_apply_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
+                      dt_inv, D, zpsiD, interpret=False):
+    """Full KNP operator action: (1/dt) mass + D stiffness + z psi D
+    drift, in one kernel pass.  ``drift`` is the per-solve context from
+    :func:`prepare_knp_drift`; the scalars may be traced (per-ion)."""
     wc_lane, rest_w = drift
+    coef = jnp.stack([
+        jnp.asarray(dt_inv, x.dtype),
+        jnp.asarray(D, x.dtype),
+        jnp.asarray(zpsiD, x.dtype),
+    ])
     xw = make_windows([x], bk)
     yw = _grid_call(_make_knp_kernel(bk.k), bk, xw,
-                    (grads_lane, vols_lane, wc_lane), 3, interpret)
-    y = combine_windows(yw, bk)
+                    (grads_lane, vols_lane, wc_lane), 1, interpret,
+                    scalars=coef)
+    y = combine_windows(yw, bk)[:, 0]
     if len(bk.rest_cells):
         from . import kernels as K
 
         rc = jnp.asarray(bk.rest_cells)
         rg = jnp.asarray(bk.rest_grads, x.dtype)
         rv = jnp.asarray(bk.rest_vols, x.dtype)
-        m = K.mass_apply(bk.n_dofs, x, rc, rv)
-        st = K.stiffness_apply(bk.n_dofs, x, rc, rg, rv)
-        dr = K.drift_apply(bk.n_dofs, x, rc, rg, rv, rest_w)
-        y = y + jnp.stack([m, st, dr], axis=-1)
+        y = y + (
+            dt_inv * K.mass_apply(bk.n_dofs, x, rc, rv)
+            + D * K.stiffness_apply(bk.n_dofs, x, rc, rg, rv)
+            + zpsiD * K.drift_apply(bk.n_dofs, x, rc, rg, rv, rest_w)
+        )
     return y
 
 

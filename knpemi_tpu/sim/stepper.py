@@ -112,6 +112,7 @@ class Simulation:
         self.source_gate = source_gate or (lambda t: 1.0)
         if not opts.direct and opts.emi_precond == "mg":
             self._setup_emi_mg()
+            self._setup_knp_mg()
         self._step_jit = None
         self._chunk_jit = {}
 
@@ -138,6 +139,36 @@ class Simulation:
             nu=self.opts.mg_nu,
         )
         self.emi_solver.mg = hier.device(self.dtype)
+
+    def _setup_knp_mg(self):
+        """Lagged SA-AMG per subdomain for the KNP blocks: built once from
+        the t=0 operator (zero drift) with the solved ions' mean diffusion
+        coefficient; the K/Cl diffusivities differ by ~3 percent, so one
+        hierarchy per tag serves every ion in the scan."""
+        import scipy.sparse as sp
+        from ..solvers import direct as direct_mod
+        from ..solvers.mg import build_hierarchy
+
+        mg = {}
+        for t in self.knp_sys.tags:
+            sub = self.geom.subdomains[t]
+            n = sub.n_dofs
+            Dbar = float(np.mean([ion.D[t] for ion in self.ions[:-1]]))
+            from ..solvers.direct import _mass_coo, _stiffness_coo, _coo_accumulate
+
+            r1, c1, v1 = _mass_coo(sub.cells, sub.vols, 1.0 / self.params.dt)
+            r2, c2, v2 = _stiffness_coo(sub.cells, sub.grads, sub.vols,
+                                        coef_cell=Dbar)
+            A0 = _coo_accumulate([r1, r2], [c1, c2], [v1, v2], n)
+            d = A0.diagonal()
+            s_ = 1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1.0)))
+            A_hat = (sp.diags(s_) @ A0 @ sp.diags(s_)).tocsr()
+            hier = build_hierarchy(
+                A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
+                coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
+            )
+            mg[t] = hier.device(self.dtype)
+        self.knp_solver.mg = mg
 
     def init_state(self) -> SimState:
         c = set_initial_conditions(self.geom, self.ions, dtype=self.dtype)

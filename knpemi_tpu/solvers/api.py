@@ -143,6 +143,7 @@ class KNPSolver:
         restart: int = 30,
         min_iter: int = 5,
         dot: Callable = jnp.vdot,
+        mg=None,
     ):
         self.system = system
         self.direct = direct
@@ -152,6 +153,9 @@ class KNPSolver:
         self.restart = restart
         self.min_iter = min_iter
         self.dot = dot
+        # optional {tag: DeviceMG} hierarchies (lagged, built from the
+        # t=0 operator with the ions' mean D; shared across the ion scan)
+        self.mg = mg or {}
 
     def solve(
         self,
@@ -179,15 +183,20 @@ class KNPSolver:
         for t in sys_.tags:
             diag = sys_.diag(t, gradphi[t])  # (Ns, n)
 
-            def solve_one(b_row, d_row, x0_row, D_k, z_k, t=t, gp=gradphi[t]):
+            mg_t = self.mg.get(t)
+
+            def solve_one(b_row, d_row, x0_row, D_k, z_k, t=t,
+                          gp=gradphi[t], mg_t=mg_t):
                 A_hat, b_hat, x0_hat, s = _equilibrate(
                     lambda v: self.system.matvec_one(t, v, gp, D_k, z_k),
                     b_row, d_row, x0_row,
                 )
+                M = None if mg_t is None else (lambda v: mg_t.apply(A_hat, v))
                 res = gmres(
                     A_hat,
                     b_hat,
                     x0=x0_hat,
+                    M=M,
                     rtol=self.rtol,
                     atol=self.atol,
                     maxiter=self.maxiter,

@@ -291,12 +291,27 @@ class EMISystem:
         rs = {}
         for t in self.tags:
             s = self.sub[t]
-            r = jnp.zeros((s["n_dofs"],), dtype=self.dtype)
-            # diffusive driving: -F z_k D_k grad(c_k) . grad(v)
+            # diffusive driving: -sum_k F z_k D_k grad(c_k) . grad(v).
+            # D_k is constant per subdomain, so the sum commutes with the
+            # gradient: ONE stiffness action of the combined field.
+            u_star = jnp.zeros((s["n_dofs"],), dtype=self.dtype)
             for k, ion in enumerate(self.ions):
-                r = r - F * ion.z * K.stiffness_apply(
-                    s["n_dofs"], c[t][k], s["cells"], s["grads"], s["vols"],
-                    coef_cell=ion.D[t],
+                u_star = u_star + (F * ion.z * ion.D[t]) * c[t][k]
+            if self.use_pallas:
+                from ..ops import pallas_assembly as PA
+
+                blk = self.blocked[t]
+                nrest = len(blk["bk"].rest_cells)
+                unit = (
+                    jnp.ones((nrest,), self.dtype) if nrest else None
+                )
+                r = -PA.emi_stiffness_blocked(
+                    u_star, (blk["vols"], unit), blk["bk"], blk["grads"],
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                r = -K.stiffness_apply(
+                    s["n_dofs"], u_star, s["cells"], s["grads"], s["vols"]
                 )
             rs[t] = r
 

@@ -209,15 +209,10 @@ class KNPSystem:
             from ..ops import pallas_assembly as PA
 
             blk = self.blocked[tag]
-            acts = PA.knp_actions_blocked(
+            y = PA.knp_apply_blocked(
                 x, blk["bk"], blk["grads"], blk["vols"], gradphi["blocked"],
+                1.0 / self.params.dt, D, z * self.params.psi * D,
                 interpret=self.pallas_interpret,
-            )  # (n, 3): mass, stiffness, drift
-            psi = self.params.psi
-            y = (
-                acts[:, 0] / self.params.dt
-                + D * acts[:, 1]
-                + z * psi * D * acts[:, 2]
             )
             return self.reduce(y)
         one = self._one_matvec(tag, gradphi["cell"] if isinstance(gradphi, dict) else gradphi)

@@ -17,8 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples" / "ideal
 from knpemi_tpu.mesh import unit_square_mms_mesh, idealized_3d_mesh
 from knpemi_tpu.ops.geometry import build_geometry
 from knpemi_tpu.ops.pallas_assembly import (
-    build_blocking, emi_stiffness_blocked, knp_actions_blocked,
-    prepare_emi_weight,
+    build_blocking, emi_stiffness_blocked, knp_apply_blocked,
+    prepare_emi_weight, prepare_knp_drift,
 )
 from knpemi_tpu.ops import kernels as K
 
