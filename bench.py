@@ -93,9 +93,13 @@ def main():
     vs_baseline = 1.0
     if do_cpu:
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            sim_cpu = make()
-            wall_cpu, *_ = _time_steps(sim_cpu, cpu_steps)
+        os.environ["KNPEMI_PALLAS"] = "0"  # XLA kernels on the CPU baseline
+        try:
+            with jax.default_device(cpu):
+                sim_cpu = make()
+                wall_cpu, *_ = _time_steps(sim_cpu, cpu_steps)
+        finally:
+            os.environ.pop("KNPEMI_PALLAS", None)
         cpu_mdofs = dofs * cpu_steps / wall_cpu / 1e6
         vs_baseline = mdofs / cpu_mdofs
         print(
