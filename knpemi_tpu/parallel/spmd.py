@@ -126,6 +126,7 @@ class SpmdSimulation:
         knp_solver = KNPSolver(
             ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,
             maxiter=sim.opts.maxiter, restart=sim.opts.restart,
+            mg=sim.knp_solver.mg,
         )
 
         # [1] membrane ODEs: shard the dof rows over the mesh axis
