@@ -139,8 +139,15 @@ class MGLevel:
 
 @dataclasses.dataclass
 class MGHierarchy:
+    """Eigenfactored coarse solve: C^-1 = V diag(1/lam) V^T.  A plain
+    dense pseudo-inverse mixes O(1e6) and O(1) entries inside one matmul
+    accumulation and loses the near-null corrections to f32 cancellation
+    (observed as CG stalling at ~1e-4 relative residual); the factored
+    form keeps the large numbers in an exact diagonal scale."""
+
     levels: List[MGLevel]
-    coarse_inv: np.ndarray
+    coarse_V: np.ndarray
+    coarse_ilam: np.ndarray
     nu: int = 1
 
     def device(self, dtype):
@@ -160,7 +167,12 @@ class MGHierarchy:
                     pt_vals=jnp.asarray(lv.pt_vals, dtype=dtype),
                 )
             )
-        return DeviceMG(out, jnp.asarray(self.coarse_inv, dtype=dtype), self.nu)
+        return DeviceMG(
+            out,
+            jnp.asarray(self.coarse_V, dtype=dtype),
+            jnp.asarray(self.coarse_ilam, dtype=dtype),
+            self.nu,
+        )
 
 
 def build_hierarchy(
@@ -203,8 +215,10 @@ def build_hierarchy(
 
         A = (P.T @ A @ P).tocsr()
         B = norm
-    coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-10)
-    return MGHierarchy(levels=levels, coarse_inv=coarse_inv, nu=nu)
+    lam, V = np.linalg.eigh(A.toarray())
+    lmax = np.abs(lam).max() if len(lam) else 1.0
+    ilam = np.where(np.abs(lam) > 1e-10 * lmax, 1.0 / lam, 0.0)
+    return MGHierarchy(levels=levels, coarse_V=V, coarse_ilam=ilam, nu=nu)
 
 
 # ---------------------------------------------------------------------------
@@ -214,14 +228,98 @@ def _ell_mv(cols, vals, x):
     return (vals * x[cols]).sum(axis=1)
 
 
+def host_apply(hier: MGHierarchy, A_csr, r: np.ndarray) -> np.ndarray:
+    """Host (numpy) V-cycle application — used by the setup-time
+    auto-tuner to score candidate hierarchies.  Runs in r.dtype so the
+    probe reflects the deployment precision (f32 noise amplification by
+    the coarse solve is hierarchy-dependent)."""
+    dt = r.dtype
+
+    def cycle(r, i=0):
+        if i == len(hier.levels):
+            V = hier.coarse_V.astype(dt)
+            return V @ (hier.coarse_ilam.astype(dt) * (V.T @ r))
+        lv = hier.levels[i]
+        if i == 0:
+            Aop = lambda x: (A_csr @ x).astype(dt)
+        else:
+            av = lv.a_vals.astype(dt)
+            Aop = lambda x: (av * x[lv.a_cols]).sum(axis=1)
+        dinv = (lv.omega / lv.diag).astype(dt)
+        x = dinv * r
+        rc = (lv.pt_vals.astype(dt) * (r - Aop(x))[lv.pt_cols]).sum(axis=1)
+        xc = cycle(rc, i + 1)
+        x = x + (lv.p_vals.astype(dt) * xc[lv.p_cols]).sum(axis=1)
+        x = x + dinv * (r - Aop(x))
+        return x
+
+    return cycle(r)
+
+
+def tune_hierarchy(
+    A_hat, B, thetas=(0.08, 0.04, 0.02), coarse_max=800, nu=1,
+    probe_iters=20, dtype=np.float64, b=None,
+):
+    """Build candidate hierarchies over strength thresholds and keep the
+    one with the fastest host-PCG residual reduction, probed IN THE
+    DEPLOYMENT DTYPE and (when given) ON THE PHYSICAL RHS — the optimal
+    theta is mesh-dependent, and f32 noise amplification by a candidate's
+    coarse solve can stall exactly the physically driven modes while
+    passing a random-vector probe."""
+    n = A_hat.shape[0]
+    dt = np.dtype(dtype)
+    A_probe = A_hat.astype(dt)
+    if b is None:
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(n)
+    b = np.asarray(b, dt).copy()
+    b -= b.mean()
+    if np.linalg.norm(b) == 0:
+        b = np.random.default_rng(0).standard_normal(n).astype(dt)
+        b -= b.mean()
+    bn = np.linalg.norm(b)
+    best = None
+    best_res = np.inf
+    for theta in thetas:
+        hier = build_hierarchy(A_hat, B=B, theta=theta,
+                               coarse_max=coarse_max, nu=nu)
+        x = np.zeros(n, dt)
+        r = b.copy()
+        z = host_apply(hier, A_probe, r)
+        z -= z.mean()
+        p = z.copy()
+        gam = float(r @ z)
+        res_best_run = np.inf
+        for _ in range(probe_iters):
+            Ap = (A_probe @ p).astype(dt)
+            Ap -= Ap.mean()
+            denom = float(p @ Ap)
+            if denom <= 0 or not np.isfinite(denom):
+                break
+            al = gam / denom
+            x += al * p
+            r -= al * Ap
+            res_best_run = min(res_best_run, float(np.linalg.norm(r)) / bn)
+            z = host_apply(hier, A_probe, r)
+            z -= z.mean()
+            g2 = float(r @ z)
+            p = z + (g2 / gam) * p
+            gam = g2
+        if res_best_run < best_res:
+            best_res = res_best_run
+            best = hier
+    return best
+
+
 class DeviceMG:
     """Jit-safe symmetric V-cycle; the finest operator is supplied at call
     time (matrix-free with current coefficients), coarser operators are
     the lagged ELL matrices."""
 
-    def __init__(self, levels, coarse_inv, nu):
+    def __init__(self, levels, coarse_V, coarse_ilam, nu):
         self.levels = levels
-        self.coarse_inv = coarse_inv
+        self.coarse_V = coarse_V
+        self.coarse_ilam = coarse_ilam
         self.nu = nu
 
     def _op(self, i: int, A0: Callable):
@@ -235,7 +333,7 @@ class DeviceMG:
 
     def _cycle(self, i: int, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
         if i == len(self.levels):
-            return self.coarse_inv @ r
+            return self.coarse_V @ (self.coarse_ilam * (self.coarse_V.T @ r))
         lv = self.levels[i]
         A = self._op(i, A0)
         dinv = lv["dinv"]

@@ -297,6 +297,11 @@ class EMISystem:
             u_star = jnp.zeros((s["n_dofs"],), dtype=self.dtype)
             for k, ion in enumerate(self.ions):
                 u_star = u_star + (F * ion.z * ion.D[t]) * c[t][k]
+            # electroneutrality keeps u* nearly uniform: center it so the
+            # stiffness acts on the variation, not on f32 roundoff of the
+            # large mean (otherwise the f32 RHS is mostly noise and CG
+            # stalls chasing it)
+            u_star = u_star - u_star.mean()
             if self.use_pallas:
                 from ..ops import pallas_assembly as PA
 
