@@ -134,6 +134,16 @@ def unit_square_mms_mesh(M: int) -> Mesh:
     )
 
 
+def unit_cube_mms_mesh(M: int) -> Mesh:
+    """3-D MMS mesh: unit cube, inner box [0.25, 0.75]^3 tagged 1 (the
+    3-D extension of tests/make_mesh_mms.py; the reference verifies in
+    2-D only)."""
+    return box_3d_mesh(
+        M, M, M, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+        [((0.25, 0.25, 0.25), (0.75, 0.75, 0.75), 1)],
+    )
+
+
 def idealized_2d_mesh(resolution_factor: int) -> Mesh:
     """62 x 4 um rectangle with embedded 60 x 2 um neuron strip tagged 1
     (make_mesh_2D.py:21-27, 43-50): nx = 31 * 2^r, ny = 2 * 2^r."""

@@ -54,6 +54,54 @@ class MMSCase:
     params: PhysicalParams
 
 
+def reference_mms_case_3d(geom: DiscreteGeometry, shift: float = 2.0) -> MMSCase:
+    """3-D extension of the reference's manufactured solution (trig
+    products over x, y, z; same ion structure and unit coefficients)."""
+    two_pi = 2.0 * jnp.pi
+
+    def a_fn(x):
+        return shift + jnp.sin(two_pi * x[1]) * jnp.cos(two_pi * x[0]) * jnp.cos(
+            two_pi * x[2]
+        )
+
+    def b_fn(x):
+        return shift + jnp.cos(two_pi * x[1]) * jnp.sin(two_pi * x[0]) * jnp.cos(
+            two_pi * x[2]
+        )
+
+    z_a, z_b, z_c = 1.0, -1.0, 1.0
+
+    def c_fn(x):
+        return -(z_a * a_fn(x) + z_b * b_fn(x)) / z_c
+
+    def phi_i(x):
+        return (
+            jnp.cos(two_pi * x[0]) * jnp.cos(two_pi * x[1]) * jnp.cos(two_pi * x[2])
+        )
+
+    def phi_e(x):
+        return (
+            jnp.sin(two_pi * x[0]) * jnp.sin(two_pi * x[1]) * jnp.sin(two_pi * x[2])
+        )
+
+    tags = geom.sub_tags
+    ions = [
+        Ion("a", z_a, {t: 1.0 for t in tags}),
+        Ion("b", z_b, {t: 1.0 for t in tags}),
+        Ion("c", z_c, {t: 1.0 for t in tags}),
+    ]
+    conc = {}
+    for t in tags:
+        conc[("a", t)] = a_fn
+        conc[("b", t)] = b_fn
+        conc[("c", t)] = c_fn
+    params = PhysicalParams(
+        dt=1.0, F=1.0, R=1.0, temperature=1.0, C_M=1.0,
+        rho={t: 0.0 for t in tags},
+    )
+    return MMSCase(ions=ions, conc=conc, phi={0: phi_e, 1: phi_i}, params=params)
+
+
 def reference_mms_case(geom: DiscreteGeometry, shift: float = 2.0) -> MMSCase:
     """The reference's 2-D trig case (run_mms.py:252-268): three ions
     a (z=+1), b (z=-1), c (z=+1, eliminated), unit coefficients.
