@@ -56,7 +56,19 @@ def build_simulation(config: dict, dtype=None):
     if config.get("mesh_file"):
         from knpemi_tpu.io import read_mesh
 
-        mesh = config.get("_premarked", True) and read_mesh(config["mesh_file"])
+        mesh = read_mesh(config["mesh_file"])
+        if config.get("remark"):
+            # raw emimesh file: convert conventions first (reference
+            # local_astrocyte_depolarization/remark_mesh.py:91-150, e.g.
+            # remark: {ecs_tag_in: 1, scale: 1e-7, tag_map: {100: 2}})
+            from knpemi_tpu.mesh.tissue import remark_emimesh
+
+            opts = dict(config["remark"])
+            if "tag_map" in opts:
+                opts["tag_map"] = {
+                    int(k): int(v) for k, v in opts["tag_map"].items()
+                }
+            mesh = remark_emimesh(mesh, **opts)
     else:
         mesh = astrocyte_tissue_mesh(int(config.get("resolution", 0)))
     geom = build_geometry(mesh)

@@ -85,18 +85,29 @@ def remark_emimesh(
     scale: float = 1e-7,
     membrane_slab_cuts=None,
     membrane_slab_tags=None,
+    tag_map=None,
 ) -> Mesh:
     """Convert emimesh output conventions to the knpemi conventions
     (reference remark_mesh.py:69-176):
 
-    * cell tags: emimesh ECS `ecs_tag_in` -> 0, cells keep tags 1,2,...
+    * cell tags: emimesh ECS `ecs_tag_in` -> 0, cells keep tags 1,2,...;
+      `tag_map` optionally remaps arbitrary emimesh cell tags first (the
+      reference astrocyte remark maps glial 100 -> 2 and defaults every
+      other non-ECS tag to 1, remark_mesh.py:91-100 of
+      local_astrocyte_depolarization),
     * coordinates scaled by `scale` (nm -> cm is 1e-7),
     * interface facets retagged from adjacent cell tags,
     * exterior facets tagged 5,
     * optional membrane x-slab split (benchmark remark_mesh.py:144-150).
     """
     cell_tags = mesh.cell_tags.copy()
-    cell_tags[mesh.cell_tags == ecs_tag_in] = 0
+    if tag_map:
+        for old, new in tag_map.items():
+            cell_tags[mesh.cell_tags == old] = new
+        if ecs_tag_in not in tag_map:
+            cell_tags[mesh.cell_tags == ecs_tag_in] = 0
+        ecs_tag_in = 0
+    cell_tags[cell_tags == ecs_tag_in] = 0
     out = Mesh(
         points=mesh.points * scale,
         cells=mesh.cells.copy(),
