@@ -37,6 +37,38 @@ def save_checkpoint(path, state: SimState, **metadata):
     np.savez_compressed(path, **payload)
 
 
+def save_checkpoint_orbax(path, state: SimState, **metadata):
+    """Orbax backend: same complete-SimState checkpoint written as an
+    orbax PyTree directory (async-friendly, multi-host-aware storage for
+    large tissue runs; the npz backend stays the single-file default)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    payload = {
+        "state": {
+            f: {str(k): np.asarray(v) for k, v in getattr(state, f).items()}
+            for f in _DICT_FIELDS
+        },
+        "scalars": {f: np.asarray(getattr(state, f)) for f in _SCALAR_FIELDS},
+    }
+    if metadata:
+        payload["meta"] = {k: np.asarray(v) for k, v in metadata.items()}
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
+
+
+def load_checkpoint_orbax(path) -> Tuple[SimState, dict]:
+    import orbax.checkpoint as ocp
+
+    data = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    fields = {
+        f: {int(k): jnp.asarray(v) for k, v in data["state"][f].items()}
+        for f in _DICT_FIELDS
+    }
+    scalars = {f: jnp.asarray(v) for f, v in data["scalars"].items()}
+    meta = dict(data.get("meta") or {})
+    return SimState(**fields, **scalars), meta
+
+
 def load_checkpoint(path) -> Tuple[SimState, dict]:
     data = np.load(path)
     fields = {f: {} for f in _DICT_FIELDS}

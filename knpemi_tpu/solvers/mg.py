@@ -183,10 +183,18 @@ def build_hierarchy(
     max_levels: int = 10,
     nu: int = 1,
     omega_p: float = 4.0 / 3.0,
+    fine_ell: bool = True,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
-    raw operators)."""
+    raw operators).
+
+    With ``fine_ell`` the finest operator is also stored in ELL form and
+    the V-cycle smooths with it instead of the caller's matrix-free
+    operator: the hierarchy is lagged anyway, the smoother is
+    preconditioner-internal (CG/GMRES compute true residuals with the
+    current operator), and one fixed-width row gather is much cheaper
+    than re-assembling cell contributions per application."""
     A = A0.tocsr()
     if B is None:
         B = np.ones(A.shape[0])
@@ -207,7 +215,7 @@ def build_hierarchy(
         P = (Pt - (omega_p / lam_f) * (sp.diags(1.0 / df) @ (Af @ Pt))).tocsr()
 
         lv = MGLevel(n=n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)))
-        if levels:  # mid level: store the operator itself in ELL form
+        if levels or fine_ell:  # store the (lagged) operator in ELL form
             lv.a_cols, lv.a_vals = _csr_to_ell(A)
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
         lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
@@ -240,7 +248,7 @@ def host_apply(hier: MGHierarchy, A_csr, r: np.ndarray) -> np.ndarray:
             V = hier.coarse_V.astype(dt)
             return V @ (hier.coarse_ilam.astype(dt) * (V.T @ r))
         lv = hier.levels[i]
-        if i == 0:
+        if i == 0 and lv.a_cols is None:
             Aop = lambda x: (A_csr @ x).astype(dt)
         else:
             av = lv.a_vals.astype(dt)
@@ -323,9 +331,9 @@ class DeviceMG:
         self.nu = nu
 
     def _op(self, i: int, A0: Callable):
-        if i == 0:
-            return A0
         lv = self.levels[i]
+        if i == 0 and lv["a_cols"] is None:
+            return A0
         return lambda x: _ell_mv(lv["a_cols"], lv["a_vals"], x)
 
     def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:

@@ -67,3 +67,25 @@ def test_checkpoint_resume_bitexact(tmp_path):
             np.asarray(a.ode_states[m]), np.asarray(b.ode_states[m])
         )
     assert float(a.t) == float(b.t)
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from run_2d import build_simulation
+    from knpemi_tpu.io.checkpoint import (
+        save_checkpoint_orbax, load_checkpoint_orbax,
+    )
+
+    sim = build_simulation(resolution=1)
+    s = sim.init_state()
+    s, _, _ = sim.run(s, 2)
+    save_checkpoint_orbax(tmp_path / "ck_orbax", s, note=7)
+    loaded, meta = load_checkpoint_orbax(tmp_path / "ck_orbax")
+    assert int(np.asarray(meta["note"])) == 7
+    assert int(loaded.step) == 2
+    for tag in s.c:
+        np.testing.assert_array_equal(np.asarray(s.c[tag]),
+                                      np.asarray(loaded.c[tag]))
+    for m in s.ode_states:
+        np.testing.assert_array_equal(np.asarray(s.ode_states[m]),
+                                      np.asarray(loaded.ode_states[m]))
+    assert float(s.t) == float(loaded.t)
