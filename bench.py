@@ -93,13 +93,17 @@ def main():
     vs_baseline = 1.0
     if do_cpu:
         cpu = jax.devices("cpu")[0]
-        os.environ["KNPEMI_PALLAS"] = "0"  # XLA kernels on the CPU baseline
+        # CPU-appropriate kernel choices: jax.devices()[0] still reports
+        # the TPU under default_device(cpu), so the autos must be forced
+        os.environ["KNPEMI_PALLAS"] = "0"   # XLA kernels on CPU
+        os.environ["KNPEMI_BANDED"] = "0"   # ELL V-cycle on CPU
         try:
             with jax.default_device(cpu):
                 sim_cpu = make()
                 wall_cpu, *_ = _time_steps(sim_cpu, cpu_steps)
         finally:
             os.environ.pop("KNPEMI_PALLAS", None)
+            os.environ.pop("KNPEMI_BANDED", None)
         cpu_mdofs = dofs * cpu_steps / wall_cpu / 1e6
         vs_baseline = mdofs / cpu_mdofs
         print(

@@ -52,6 +52,18 @@ class SolverOptions:
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
+    # block-banded dense V-cycle operators: a TPU-only win (dense slab
+    # matmuls ride HBM at full bandwidth vs ~140M elem/s random gathers;
+    # on CPU the ~100x FLOP inflation is compute-bound and loses to ELL).
+    # None -> auto by platform; KNPEMI_BANDED=0/1 overrides.
+    mg_banded: Optional[bool] = None
+    # store the banded slabs in bfloat16.  Measured: halves V-cycle HBM
+    # traffic but destroys EMI convergence (19 -> 137 CG iterations at
+    # 3d res 1 — the equilibrated EMI operator's coarse corrections
+    # cancel below bf16's 8 mantissa bits; KNP was unaffected).  Default
+    # OFF; KNPEMI_BAND_BF16=1 or this flag opts in (e.g. KNP-only
+    # experiments).
+    mg_band_bf16: Optional[bool] = None
 
 
 class Simulation:
@@ -110,6 +122,23 @@ class Simulation:
         # time gate for the ECS source term (pulsed K+/Na- injection in the
         # benchmark/astrocyte drivers); must be jax-traceable t -> scalar
         self.source_gate = source_gate or (lambda t: 1.0)
+        if opts.mg_banded is None:
+            import os
+
+            env = os.environ.get("KNPEMI_BANDED")
+            if env is not None:
+                self._mg_banded = env == "1"
+            else:
+                self._mg_banded = jax.devices()[0].platform == "tpu"
+        else:
+            self._mg_banded = opts.mg_banded
+        if opts.mg_band_bf16 is None:
+            import os
+
+            env = os.environ.get("KNPEMI_BAND_BF16")
+            self._band_dtype = jnp.bfloat16 if env == "1" else None
+        else:
+            self._band_dtype = jnp.bfloat16 if opts.mg_band_bf16 else None
         if not opts.direct and opts.emi_precond == "mg":
             self._setup_emi_mg()
             self._setup_knp_mg()
@@ -137,8 +166,9 @@ class Simulation:
             theta=self.opts.mg_theta,
             coarse_max=self.opts.mg_coarse_max,
             nu=self.opts.mg_nu,
+            banded=self._mg_banded,
         )
-        self.emi_solver.mg = hier.device(self.dtype)
+        self.emi_solver.mg = hier.device(self.dtype, band_dtype=self._band_dtype)
 
     def _setup_knp_mg(self):
         """Lagged SA-AMG per subdomain for the KNP blocks: built once from
@@ -166,8 +196,9 @@ class Simulation:
             hier = build_hierarchy(
                 A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
+                banded=self._mg_banded,
             )
-            mg[t] = hier.device(self.dtype)
+            mg[t] = hier.device(self.dtype, band_dtype=self._band_dtype)
         self.knp_solver.mg = mg
 
     def init_state(self) -> SimState:
@@ -257,17 +288,29 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _chunk(self, n: int):
+        """Jitted scan over n steps.  The MG hierarchies are passed as
+        ARGUMENTS (DeviceMG is a pytree): their slabs travel as runtime
+        buffers rather than HLO constants (remote-compile payloads are
+        size-bounded), and a refreshed hierarchy of identical shape can
+        be swapped in without recompiling."""
         if n not in self._chunk_jit:
 
             def body(s, _):
                 s2 = self.step(s)
                 return s2, (s2.emi_iters, s2.knp_iters)
 
-            def chunk(s):
-                return jax.lax.scan(body, s, None, length=n)
+            def chunk(s, emi_mg, knp_mg):
+                old = self.emi_solver.mg, self.knp_solver.mg
+                self.emi_solver.mg = emi_mg
+                self.knp_solver.mg = knp_mg
+                try:
+                    return jax.lax.scan(body, s, None, length=n)
+                finally:
+                    self.emi_solver.mg, self.knp_solver.mg = old
 
             self._chunk_jit[n] = jax.jit(chunk)
-        return self._chunk_jit[n]
+        jitted = self._chunk_jit[n]
+        return lambda s: jitted(s, self.emi_solver.mg, self.knp_solver.mg)
 
     def run(
         self,

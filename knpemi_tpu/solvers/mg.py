@@ -12,9 +12,12 @@ EMI systems vs ~650 for Jacobi) with a TPU-friendly division of labor:
   vector is sqrt(diag A), NOT the constant), Jacobi-smoothed P, Galerkin
   RAP, dense pseudo-inverse of the coarsest level;
 * **apply on the device, every iteration** (jit): symmetric V-cycle with
-  damped-Jacobi smoothing; level operators and transfer operators are
-  applied in ELL form (fixed-width gathers), the coarsest inverse is a
-  dense MXU matmul.
+  damped-Jacobi smoothing; ALL level operators (including the finest,
+  lagged) and transfer operators are applied in ELL form (fixed-width
+  gathers), the coarsest inverse is a dense MXU matmul.  Smoothing with
+  the lagged fine ELL instead of the caller's matrix-free matvec is
+  preconditioner-internal, so the Krylov solve still targets the current
+  operator exactly.
 
 The hierarchy is *lagged*: built from the initial operator and reused as
 the preconditioner while CG solves the current operator exactly (the
@@ -135,6 +138,91 @@ class MGLevel:
     p_vals: Optional[np.ndarray] = None
     pt_cols: Optional[np.ndarray] = None
     pt_vals: Optional[np.ndarray] = None
+    # block-banded dense forms (see _csr_to_banded); None -> use ELL
+    a_band: Optional[tuple] = None
+    p_band: Optional[tuple] = None
+    pt_band: Optional[tuple] = None
+
+
+def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
+                   density_min: float = 0.002, mem_cap: int = 256 << 20):
+    """Block-banded dense layout of a sparse matrix whose rows are
+    locality-ordered (Morton dofs): rows are grouped into blocks of R;
+    each block stores the dense slab ``slab[b] = A[r0:r0+R, w0[b]:w0[b]+W]``
+    plus a COO list of the few entries that fall outside its window
+    (e.g. membrane cross-subdomain couplings).  A banded matvec is then
+    one contiguous window gather + one batched (R, W) x (W,) matmul per
+    block — MXU/HBM work instead of the TPU's slow random gathers.
+
+    Returns ``(slab, w0, far_rows, far_cols, far_vals, n, m)`` or None
+    when the layout is unprofitable (window too wide / slabs too empty).
+    """
+    A = A.tocsr()
+    n, m = A.shape
+    NB = -(-n // R)
+    indptr, indices, data = A.indptr, A.indices, A.data
+    block_cols = [
+        np.sort(indices[indptr[b * R]:indptr[min((b + 1) * R, n)]])
+        for b in range(NB)
+    ]
+
+    def coverage(W):
+        """Entries captured by each block's densest width-W window."""
+        near = 0
+        for c in block_cols:
+            if len(c):
+                near += int(
+                    (np.searchsorted(c, c + W) - np.arange(len(c))).max()
+                )
+        return near
+
+    # pick W from a ladder by measured coverage: smallest W capturing
+    # >= 85% of entries; far-flung couplings (e.g. membrane rows linking
+    # subdomains) spill to the COO remainder instead of widening slabs
+    m128 = -(-m // 128) * 128
+    W = best_W = None
+    best_near = -1
+    for Wc in (128, 256, 512, 1024, 1536, 2048, 3072, 4096):
+        if Wc > min(W_cap, m128) or NB * R * Wc * 4 > mem_cap:
+            break
+        near = coverage(Wc)
+        if near > best_near:
+            best_near, best_W = near, Wc
+        if near >= 0.85 * A.nnz:
+            W = Wc
+            break
+    if W is None:
+        if best_W is None or best_near < 0.75 * A.nnz:
+            return None  # window misses too much: layout not applicable
+        W = best_W
+    if m128 <= min(W_cap, mem_cap // (4 * NB * R) * 1) and m128 < 2 * W:
+        W = m128  # window can cover everything: store dense
+    # per block: the densest window of width W (two-pointer on sorted cols)
+    w0 = np.zeros(NB, np.int32)
+    for b, c in enumerate(block_cols):
+        if len(c) == 0:
+            continue
+        cover = np.searchsorted(c, c + W) - np.arange(len(c))
+        w0[b] = c[int(np.argmax(cover))]
+    w0 = np.minimum(w0, max(m - W, 0)).astype(np.int32)
+    if NB * R * W * 4 > mem_cap:
+        return None  # slab memory beyond budget: keep ELL at this scale
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    blk = rows // R
+    loc = indices - w0[blk]
+    inside = (loc >= 0) & (loc < W)
+    nnz_near = int(inside.sum())
+    if nnz_near < density_min * NB * R * W and n > 2048:
+        return None  # slabs nearly empty: ELL gather wins on HBM traffic
+    if (A.nnz - nnz_near) > 0.25 * A.nnz:
+        return None  # window misses too much: layout not applicable
+    slab = np.zeros((NB, R, W), np.float64)
+    slab[blk[inside], rows[inside] % R, loc[inside]] = data[inside]
+    out = ~inside
+    far_rows = rows[out].astype(np.int32)
+    far_cols = indices[out].astype(np.int32)
+    far_vals = data[out]
+    return slab, w0, far_rows, far_cols, far_vals, n, m
 
 
 @dataclasses.dataclass
@@ -150,7 +238,24 @@ class MGHierarchy:
     coarse_ilam: np.ndarray
     nu: int = 1
 
-    def device(self, dtype):
+    def device(self, dtype, band_dtype=None):
+        """``band_dtype`` is the storage/compute dtype of the banded slabs
+        (default: ``dtype``).  bf16 is safe here — every banded operator is
+        preconditioner-internal — and halves the V-cycle's HBM traffic."""
+
+        def dev_band(band):
+            if band is None:
+                return None
+            slab, w0, fr, fc, fv, n, m = band
+            return dict(
+                slab=jnp.asarray(slab, dtype=band_dtype or dtype),
+                w0=jnp.asarray(w0),
+                far_rows=jnp.asarray(fr),
+                far_cols=jnp.asarray(fc),
+                far_vals=jnp.asarray(fv, dtype=dtype),
+                n=n, m=m,
+            )
+
         out = []
         for lv in self.levels:
             out.append(
@@ -165,6 +270,9 @@ class MGHierarchy:
                     p_vals=jnp.asarray(lv.p_vals, dtype=dtype),
                     pt_cols=jnp.asarray(lv.pt_cols),
                     pt_vals=jnp.asarray(lv.pt_vals, dtype=dtype),
+                    a_band=dev_band(lv.a_band),
+                    p_band=dev_band(lv.p_band),
+                    pt_band=dev_band(lv.pt_band),
                 )
             )
         return DeviceMG(
@@ -184,6 +292,7 @@ def build_hierarchy(
     nu: int = 1,
     omega_p: float = 4.0 / 3.0,
     fine_ell: bool = True,
+    banded: bool = True,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -194,7 +303,13 @@ def build_hierarchy(
     operator: the hierarchy is lagged anyway, the smoother is
     preconditioner-internal (CG/GMRES compute true residuals with the
     current operator), and one fixed-width row gather is much cheaper
-    than re-assembling cell contributions per application."""
+    than re-assembling cell contributions per application.
+
+    With ``banded`` every level/transfer operator additionally gets a
+    block-banded dense layout (:func:`_csr_to_banded`) so the device
+    V-cycle runs on batched dense matmuls instead of random gathers
+    (TPU gathers move ~140M elem/s; slab matmul reads ride HBM at full
+    bandwidth).  Levels where the layout is unprofitable keep ELL."""
     A = A0.tocsr()
     if B is None:
         B = np.ones(A.shape[0])
@@ -219,6 +334,11 @@ def build_hierarchy(
             lv.a_cols, lv.a_vals = _csr_to_ell(A)
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
         lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
+        if banded:
+            if lv.a_cols is not None:
+                lv.a_band = _csr_to_banded(A)
+            lv.p_band = _csr_to_banded(P)
+            lv.pt_band = _csr_to_banded(P.T.tocsr())
         levels.append(lv)
 
         A = (P.T @ A @ P).tocsr()
@@ -234,6 +354,30 @@ def build_hierarchy(
 # ---------------------------------------------------------------------------
 def _ell_mv(cols, vals, x):
     return (vals * x[cols]).sum(axis=1)
+
+
+def _banded_mv(band, x):
+    """y = A x with A in block-banded dense form: per row block, one
+    contiguous window gather + one (R, W) x (W,) matmul, plus the sparse
+    'far' remainder.  Precision is DEFAULT on purpose: every banded
+    operator is preconditioner-internal."""
+    slab = band["slab"]
+    NB, R, W = slab.shape
+    xp = jnp.pad(x, (0, W))
+    idx = band["w0"][:, None] + jnp.arange(W, dtype=band["w0"].dtype)[None, :]
+    xw = xp[idx].astype(slab.dtype)  # (NB, W) window gather
+    y = jax.lax.dot_general(
+        slab, xw[:, :, None],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=x.dtype,
+    )  # (NB, R, 1)
+    y = y.reshape(NB * R)[: band["n"]].astype(x.dtype)
+    if band["far_rows"].shape[0]:
+        y = y.at[band["far_rows"]].add(
+            band["far_vals"] * x[band["far_cols"]]
+        )
+    return y
 
 
 def host_apply(hier: MGHierarchy, A_csr, r: np.ndarray) -> np.ndarray:
@@ -319,10 +463,17 @@ def tune_hierarchy(
     return best
 
 
+@jax.tree_util.register_pytree_node_class
 class DeviceMG:
     """Jit-safe symmetric V-cycle; the finest operator is supplied at call
     time (matrix-free with current coefficients), coarser operators are
-    the lagged ELL matrices."""
+    the lagged ELL/banded matrices.
+
+    Registered as a pytree (arrays dynamic, scaffolding static) so the
+    hierarchy can be passed as a jit ARGUMENT: the slabs then travel as
+    runtime buffers instead of HLO constants — mandatory for remote-
+    compile setups with bounded request sizes, and the basis for
+    refreshing the lagged hierarchy without recompiling the step."""
 
     def __init__(self, levels, coarse_V, coarse_ilam, nu):
         self.levels = levels
@@ -330,11 +481,35 @@ class DeviceMG:
         self.coarse_ilam = coarse_ilam
         self.nu = nu
 
+    def tree_flatten(self):
+        flat, treedef = jax.tree_util.tree_flatten(
+            (self.levels, self.coarse_V, self.coarse_ilam)
+        )
+        dyn = [x if isinstance(x, jax.Array) else None for x in flat]
+        static = tuple(None if isinstance(x, jax.Array) else x for x in flat)
+        return dyn, (treedef, static, self.nu)
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        treedef, static, nu = aux
+        flat = [d if s is None else s for d, s in zip(dyn, static)]
+        levels, V, ilam = jax.tree_util.tree_unflatten(treedef, flat)
+        return cls(levels, V, ilam, nu)
+
     def _op(self, i: int, A0: Callable):
         lv = self.levels[i]
+        if lv.get("a_band") is not None:
+            return lambda x: _banded_mv(lv["a_band"], x)
         if i == 0 and lv["a_cols"] is None:
             return A0
         return lambda x: _ell_mv(lv["a_cols"], lv["a_vals"], x)
+
+    @staticmethod
+    def _transfer(lv, which, x):
+        band = lv.get(which + "_band")
+        if band is not None:
+            return _banded_mv(band, x)
+        return _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
 
     def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
         return self._cycle(0, A0, r)
@@ -348,9 +523,9 @@ class DeviceMG:
         x = dinv * r
         for _ in range(self.nu - 1):
             x = x + dinv * (r - A(x))
-        rc = _ell_mv(lv["pt_cols"], lv["pt_vals"], r - A(x))
+        rc = self._transfer(lv, "pt", r - A(x))
         xc = self._cycle(i + 1, A0, rc)
-        x = x + _ell_mv(lv["p_cols"], lv["p_vals"], xc)
+        x = x + self._transfer(lv, "p", xc)
         for _ in range(self.nu):
             x = x + dinv * (r - A(x))
         return x
