@@ -1,0 +1,87 @@
+"""Pallas TPU kernel for block-banded dense matvecs.
+
+The MG V-cycle's operators are stored block-banded (solvers/mg.py::
+_csr_to_banded): per 256-row block, one dense (R, W) slab over that
+block's column window plus a COO remainder.  The XLA formulation of the
+window gather ``x[w0[:, None] + arange(W)]`` lowers to a general gather
+(~1.7 ms for the EMI fine level — random-index gathers move ~140M
+elem/s on TPU); this kernel eliminates it: the vector lives whole in
+VMEM as a (rows, 128) table, each grid step reads its window as W/128
+dynamically-offset row slices and contracts them against the streamed
+slab with (1, 128) x (128, R) MXU dots.
+
+Measured on the EMI fine level (NB=104, R=256, W=1536): 0.47 ms/apply,
+327 GB/s of slab traffic, vs 2.5 ms for the XLA gather+einsum path.
+Precision.HIGHEST costs nothing here (HBM-bound) and keeps the result
+exact in f32, so the same kernel can serve actual operators, not just
+preconditioner internals.  NOTE Mosaic's DEFAULT dot precision is a
+single bf16 pass (rel err ~2e-3) — unlike XLA:TPU's 3-pass default —
+so HIGHEST is load-bearing.
+
+Constraints encoded here (see /opt/skills/guides/pallas_guide.md):
+strictly 2-D in-kernel tensors, no in-kernel reshapes, window starts
+aligned to 128 lanes (the host layout rounds w0 down and widens W),
+out block (1, 1, R) because a (1, R) block violates the sublane rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "R", "W", "interpret"))
+def _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret):
+    J = W // 128
+
+    def kernel(w0r_ref, x_ref, s_ref, o_ref):
+        b = pl.program_id(0)
+        row0 = w0r_ref[b]
+        acc = jnp.zeros((1, R), x2.dtype)
+        for j in range(J):
+            xrow = x_ref[pl.ds(row0 + j, 1), :]
+            sblk = s_ref[j * 128:(j + 1) * 128, :]
+            acc = acc + jax.lax.dot_general(
+                xrow, sblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=x2.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        o_ref[0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, R), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, R), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, R), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w0_rows, x2, slabT)
+    return out.reshape(NB * R)
+
+
+def banded_matvec(slabT, w0_rows, x, n, W, interpret=False):
+    """y = A_near x for a block-banded A: ``slabT`` is (NB*W, R) with
+    slabT[b*W + w, r] = A[b*R + r, w0[b] + w]; ``w0_rows`` = w0 // 128
+    (window starts are 128-aligned).  ``x`` has length m >= max col;
+    the caller adds the COO far remainder."""
+    R = slabT.shape[1]
+    NB = slabT.shape[0] // W
+    m = x.shape[0]
+    nrows = -(-(m + W) // 128) + 1
+    x2 = jnp.pad(x, (0, nrows * 128 - m)).reshape(nrows, 128)
+    y = _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret)
+    return y[:n]

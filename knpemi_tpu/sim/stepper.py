@@ -103,6 +103,7 @@ class Simulation:
                     jax.devices()[0].platform == "tpu"
                     and not jax.config.jax_enable_x64
                 )
+        self._use_pallas = use_pallas
         self.emi_sys = EMISystem(
             geom, ions, params, splitting_scheme, dtype=dtype,
             use_pallas=use_pallas,
@@ -168,7 +169,10 @@ class Simulation:
             nu=self.opts.mg_nu,
             banded=self._mg_banded,
         )
-        self.emi_solver.mg = hier.device(self.dtype, band_dtype=self._band_dtype)
+        self.emi_solver.mg = hier.device(
+            self.dtype, band_dtype=self._band_dtype,
+            band_pallas=self._use_pallas,
+        )
 
     def _setup_knp_mg(self):
         """Lagged SA-AMG per subdomain for the KNP blocks: built once from
@@ -198,7 +202,10 @@ class Simulation:
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
                 banded=self._mg_banded,
             )
-            mg[t] = hier.device(self.dtype, band_dtype=self._band_dtype)
+            mg[t] = hier.device(
+                self.dtype, band_dtype=self._band_dtype,
+                band_pallas=self._use_pallas,
+            )
         self.knp_solver.mg = mg
 
     def init_state(self) -> SimState:

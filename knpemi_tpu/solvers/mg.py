@@ -197,14 +197,17 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
         W = best_W
     if m128 <= min(W_cap, mem_cap // (4 * NB * R) * 1) and m128 < 2 * W:
         W = m128  # window can cover everything: store dense
-    # per block: the densest window of width W (two-pointer on sorted cols)
+    # per block: the densest window of width W (two-pointer on sorted
+    # cols), then align the start down to 128 lanes and widen the slab
+    # by one lane-tile so the Pallas kernel reads whole (1, 128) rows
     w0 = np.zeros(NB, np.int32)
     for b, c in enumerate(block_cols):
         if len(c) == 0:
             continue
         cover = np.searchsorted(c, c + W) - np.arange(len(c))
         w0[b] = c[int(np.argmax(cover))]
-    w0 = np.minimum(w0, max(m - W, 0)).astype(np.int32)
+    w0 = (w0 // 128 * 128).astype(np.int32)
+    W = W + 128
     if NB * R * W * 4 > mem_cap:
         return None  # slab memory beyond budget: keep ELL at this scale
     rows = np.repeat(np.arange(n), np.diff(indptr))
@@ -216,13 +219,14 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
         return None  # slabs nearly empty: ELL gather wins on HBM traffic
     if (A.nnz - nnz_near) > 0.25 * A.nnz:
         return None  # window misses too much: layout not applicable
-    slab = np.zeros((NB, R, W), np.float64)
-    slab[blk[inside], rows[inside] % R, loc[inside]] = data[inside]
+    # transposed slab layout (NB*W, R): what the TPU kernel streams
+    slabT = np.zeros((NB * W, R), np.float64)
+    slabT[blk[inside] * W + loc[inside], rows[inside] % R] = data[inside]
     out = ~inside
     far_rows = rows[out].astype(np.int32)
     far_cols = indices[out].astype(np.int32)
     far_vals = data[out]
-    return slab, w0, far_rows, far_cols, far_vals, n, m
+    return slabT, w0, far_rows, far_cols, far_vals, n, m, W
 
 
 @dataclasses.dataclass
@@ -238,22 +242,24 @@ class MGHierarchy:
     coarse_ilam: np.ndarray
     nu: int = 1
 
-    def device(self, dtype, band_dtype=None):
+    def device(self, dtype, band_dtype=None, band_pallas=False):
         """``band_dtype`` is the storage/compute dtype of the banded slabs
-        (default: ``dtype``).  bf16 is safe here — every banded operator is
-        preconditioner-internal — and halves the V-cycle's HBM traffic."""
+        (default: ``dtype``; bf16 is opt-in — it halves HBM traffic but
+        was measured to stall the EMI solve).  ``band_pallas`` applies
+        the slabs with the Pallas window kernel (TPU only)."""
 
         def dev_band(band):
             if band is None:
                 return None
-            slab, w0, fr, fc, fv, n, m = band
+            slabT, w0, fr, fc, fv, n, m, W = band
             return dict(
-                slab=jnp.asarray(slab, dtype=band_dtype or dtype),
+                slabT=jnp.asarray(slabT, dtype=band_dtype or dtype),
                 w0=jnp.asarray(w0),
+                w0_rows=jnp.asarray(w0 // 128, dtype=jnp.int32),
                 far_rows=jnp.asarray(fr),
                 far_cols=jnp.asarray(fc),
                 far_vals=jnp.asarray(fv, dtype=dtype),
-                n=n, m=m,
+                n=n, m=m, W=W, pallas=bool(band_pallas),
             )
 
         out = []
@@ -357,22 +363,34 @@ def _ell_mv(cols, vals, x):
 
 
 def _banded_mv(band, x):
-    """y = A x with A in block-banded dense form: per row block, one
-    contiguous window gather + one (R, W) x (W,) matmul, plus the sparse
-    'far' remainder.  Precision is DEFAULT on purpose: every banded
-    operator is preconditioner-internal."""
-    slab = band["slab"]
-    NB, R, W = slab.shape
-    xp = jnp.pad(x, (0, W))
-    idx = band["w0"][:, None] + jnp.arange(W, dtype=band["w0"].dtype)[None, :]
-    xw = xp[idx].astype(slab.dtype)  # (NB, W) window gather
-    y = jax.lax.dot_general(
-        slab, xw[:, :, None],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=x.dtype,
-    )  # (NB, R, 1)
-    y = y.reshape(NB * R)[: band["n"]].astype(x.dtype)
+    """y = A x with A in block-banded dense form (plus the sparse 'far'
+    remainder).  On TPU the near part runs in the Pallas window kernel
+    (ops/pallas_banded.py); elsewhere as a window gather + batched
+    matmul."""
+    W = band["W"]
+    slabT = band["slabT"]
+    R = slabT.shape[1]
+    NB = slabT.shape[0] // W
+    if band.get("pallas"):
+        from ..ops.pallas_banded import banded_matvec
+
+        y = banded_matvec(
+            slabT, band["w0_rows"], x.astype(slabT.dtype), band["n"], W
+        ).astype(x.dtype)
+    else:
+        xp = jnp.pad(x, (0, W))
+        idx = (
+            band["w0"][:, None]
+            + jnp.arange(W, dtype=band["w0"].dtype)[None, :]
+        )
+        xw = xp[idx].astype(slabT.dtype)  # (NB, W) window gather
+        y = jax.lax.dot_general(
+            slabT.reshape(NB, W, R), xw[:, :, None],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=x.dtype,
+        )  # (NB, R, 1)
+        y = y.reshape(NB * R)[: band["n"]].astype(x.dtype)
     if band["far_rows"].shape[0]:
         y = y.at[band["far_rows"]].add(
             band["far_vals"] * x[band["far_cols"]]

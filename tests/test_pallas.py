@@ -68,3 +68,44 @@ def test_blocked_step_matches_xla_step():
         np.testing.assert_allclose(
             np.asarray(sP.c[tag]), np.asarray(sX.c[tag]), rtol=2e-5
         )
+
+
+def test_banded_matvec_interpret_matches_scipy():
+    """Block-banded slabT layout + Pallas window kernel (interpret mode)
+    against scipy, including the COO far remainder (solvers/mg.py::
+    _csr_to_banded + ops/pallas_banded.py)."""
+    import scipy.sparse as sp
+    from knpemi_tpu.solvers.mg import _csr_to_banded, _banded_mv
+    from knpemi_tpu.ops.pallas_banded import banded_matvec
+
+    n = 3000
+    rng = np.random.default_rng(3)
+    A = sp.diags([-1, 2.1, -1], [-1, 0, 1], shape=(n, n)).tocsr()
+    rr = rng.integers(0, n, 40)
+    cc = rng.integers(0, n, 40)
+    F = sp.csr_matrix((rng.standard_normal(40) * 0.01, (rr, cc)),
+                      shape=(n, n))
+    A = (A + F + F.T).tocsr()
+    band = _csr_to_banded(A, R=256)
+    assert band is not None
+    slabT, w0, fr, fc, fv, nn, mm, W = band
+    dev = dict(
+        slabT=jnp.asarray(slabT, jnp.float32), w0=jnp.asarray(w0),
+        w0_rows=jnp.asarray(w0 // 128, jnp.int32),
+        far_rows=jnp.asarray(fr), far_cols=jnp.asarray(fc),
+        far_vals=jnp.asarray(fv, jnp.float32), n=nn, m=mm, W=W,
+        pallas=False,
+    )
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    y_ref = A @ np.asarray(x, np.float64)
+    scale = np.abs(y_ref).max()
+
+    y_xla = np.asarray(_banded_mv(dev, x))
+    assert np.abs(y_xla - y_ref).max() / scale < 1e-5
+
+    y_near = banded_matvec(dev["slabT"], dev["w0_rows"], x, nn, W,
+                           interpret=True)
+    y_pl = np.asarray(
+        y_near.at[dev["far_rows"]].add(dev["far_vals"] * x[dev["far_cols"]])
+    )
+    assert np.abs(y_pl - y_ref).max() / scale < 1e-5
