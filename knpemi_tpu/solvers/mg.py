@@ -145,88 +145,108 @@ class MGLevel:
 
 
 def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
-                   density_min: float = 0.002, mem_cap: int = 256 << 20):
-    """Block-banded dense layout of a sparse matrix whose rows are
-    locality-ordered (Morton dofs): rows are grouped into blocks of R;
-    each block stores the dense slab ``slab[b] = A[r0:r0+R, w0[b]:w0[b]+W]``
-    plus a COO list of the few entries that fall outside its window
-    (e.g. membrane cross-subdomain couplings).  A banded matvec is then
-    one contiguous window gather + one batched (R, W) x (W,) matmul per
-    block — MXU/HBM work instead of the TPU's slow random gathers.
+                   density_min: float = 0.002, mem_cap: int = 512 << 20,
+                   n_windows: int = 2):
+    """Multi-window block-banded dense layout of a sparse matrix whose
+    rows are locality-ordered (Morton dofs): rows are grouped into
+    blocks of R; each block stores up to ``n_windows`` dense slabs
+    ``A[r0:r0+R, w0_s[b]:w0_s[b]+W_s]`` (e.g. the diagonal Morton window
+    plus the membrane cross-subdomain cluster) and a COO list of the few
+    entries outside every window.  A banded matvec is then streamed MXU
+    slab work (ops/pallas_banded.py) instead of the TPU's slow random
+    gathers.
 
-    Returns ``(slab, w0, far_rows, far_cols, far_vals, n, m)`` or None
-    when the layout is unprofitable (window too wide / slabs too empty).
+    Returns ``(windows, far_rows, far_cols, far_vals, n, m)`` with
+    ``windows = [(slabT (NB*W, R), w0 (NB,), W), ...]``, or None when
+    the layout is unprofitable (windows too wide / slabs too empty).
     """
     A = A.tocsr()
     n, m = A.shape
     NB = -(-n // R)
     indptr, indices, data = A.indptr, A.indices, A.data
-    block_cols = [
-        np.sort(indices[indptr[b * R]:indptr[min((b + 1) * R, n)]])
-        for b in range(NB)
-    ]
-
-    def coverage(W):
-        """Entries captured by each block's densest width-W window."""
-        near = 0
-        for c in block_cols:
-            if len(c):
-                near += int(
-                    (np.searchsorted(c, c + W) - np.arange(len(c))).max()
-                )
-        return near
-
-    # pick W from a ladder by measured coverage: smallest W capturing
-    # >= 85% of entries; far-flung couplings (e.g. membrane rows linking
-    # subdomains) spill to the COO remainder instead of widening slabs
-    m128 = -(-m // 128) * 128
-    W = best_W = None
-    best_near = -1
-    for Wc in (128, 256, 512, 1024, 1536, 2048, 3072, 4096):
-        if Wc > min(W_cap, m128) or NB * R * Wc * 4 > mem_cap:
-            break
-        near = coverage(Wc)
-        if near > best_near:
-            best_near, best_W = near, Wc
-        if near >= 0.85 * A.nnz:
-            W = Wc
-            break
-    if W is None:
-        if best_W is None or best_near < 0.75 * A.nnz:
-            return None  # window misses too much: layout not applicable
-        W = best_W
-    if m128 <= min(W_cap, mem_cap // (4 * NB * R) * 1) and m128 < 2 * W:
-        W = m128  # window can cover everything: store dense
-    # per block: the densest window of width W (two-pointer on sorted
-    # cols), then align the start down to 128 lanes and widen the slab
-    # by one lane-tile so the Pallas kernel reads whole (1, 128) rows
-    w0 = np.zeros(NB, np.int32)
-    for b, c in enumerate(block_cols):
-        if len(c) == 0:
-            continue
-        cover = np.searchsorted(c, c + W) - np.arange(len(c))
-        w0[b] = c[int(np.argmax(cover))]
-    w0 = (w0 // 128 * 128).astype(np.int32)
-    W = W + 128
-    if NB * R * W * 4 > mem_cap:
-        return None  # slab memory beyond budget: keep ELL at this scale
     rows = np.repeat(np.arange(n), np.diff(indptr))
     blk = rows // R
-    loc = indices - w0[blk]
-    inside = (loc >= 0) & (loc < W)
-    nnz_near = int(inside.sum())
-    if nnz_near < density_min * NB * R * W and n > 2048:
-        return None  # slabs nearly empty: ELL gather wins on HBM traffic
-    if (A.nnz - nnz_near) > 0.25 * A.nnz:
-        return None  # window misses too much: layout not applicable
-    # transposed slab layout (NB*W, R): what the TPU kernel streams
-    slabT = np.zeros((NB * W, R), np.float64)
-    slabT[blk[inside] * W + loc[inside], rows[inside] % R] = data[inside]
-    out = ~inside
-    far_rows = rows[out].astype(np.int32)
-    far_cols = indices[out].astype(np.int32)
-    far_vals = data[out]
-    return slabT, w0, far_rows, far_cols, far_vals, n, m, W
+    m128 = -(-m // 128) * 128
+    mem_left = mem_cap
+
+    remaining = np.ones(A.nnz, bool)
+    windows = []
+    for _ in range(n_windows):
+        rem_nnz = int(remaining.sum())
+        if rem_nnz == 0 or (windows and rem_nnz < 0.02 * A.nnz):
+            break  # leftover is cheap enough as a COO remainder
+        block_cols = [
+            np.sort(indices[remaining & (blk == b)]) for b in range(NB)
+        ]
+
+        def coverage(W):
+            near = 0
+            for c in block_cols:
+                if len(c):
+                    near += int(
+                        (np.searchsorted(c, c + W) - np.arange(len(c))).max()
+                    )
+            return near
+
+        # smallest ladder W capturing >= 85% of the remaining entries
+        W = best_W = None
+        best_near = -1
+        for Wc in (128, 256, 512, 1024, 1536, 2048, 3072, 4096):
+            if Wc > min(W_cap, m128) or NB * R * Wc * 4 > mem_left:
+                break
+            near = coverage(Wc)
+            if near > best_near:
+                best_near, best_W = near, Wc
+            if near >= 0.85 * rem_nnz:
+                W = Wc
+                break
+        if W is None:
+            # a follow-up window pays for itself at lower coverage: it
+            # replaces COO gather/scatter (~0.03 us/entry) with a cheap
+            # streamed slab, so accept down to 35% of the remainder
+            accept = 0.5 if not windows else 0.35
+            if best_W is None or best_near < accept * rem_nnz:
+                break  # this window wouldn't pay for itself
+            W = best_W
+        if not windows and m128 <= min(W_cap, mem_left // (4 * NB * R)) \
+                and m128 < 2 * W:
+            W = m128  # window can cover everything: store dense
+        # densest width-W window per block (two-pointer on sorted cols),
+        # start aligned down to 128 lanes (+1 lane-tile of width) so the
+        # Pallas kernel reads whole (1, 128) rows
+        w0 = np.zeros(NB, np.int32)
+        for b, c in enumerate(block_cols):
+            if len(c) == 0:
+                continue
+            cover = np.searchsorted(c, c + W) - np.arange(len(c))
+            w0[b] = c[int(np.argmax(cover))]
+        w0 = (w0 // 128 * 128).astype(np.int32)
+        W = W + 128
+        if NB * R * W * 4 > mem_left:
+            break
+        loc = indices - w0[blk]
+        inside = remaining & (loc >= 0) & (loc < W)
+        nnz_in = int(inside.sum())
+        # break-even density: slab streaming (~320 GB/s) vs COO
+        # gather/scatter (~28 ns/entry) crosses near 0.05% fill, so
+        # follow-up windows accept much sparser slabs than the first
+        dmin = density_min if not windows else density_min / 4
+        if nnz_in < dmin * NB * R * W and n > 2048:
+            break  # slab nearly empty: leftovers stay COO
+        slabT = np.zeros((NB * W, R), np.float64)
+        slabT[blk[inside] * W + loc[inside], rows[inside] % R] = data[inside]
+        windows.append((slabT, w0, W))
+        remaining = remaining & ~inside
+        mem_left -= NB * R * W * 4
+
+    if not windows:
+        return None
+    if int(remaining.sum()) > 0.25 * A.nnz:
+        return None  # windows miss too much: layout not applicable
+    far_rows = rows[remaining].astype(np.int32)
+    far_cols = indices[remaining].astype(np.int32)
+    far_vals = data[remaining]
+    return windows, far_rows, far_cols, far_vals, n, m
 
 
 @dataclasses.dataclass
@@ -251,15 +271,21 @@ class MGHierarchy:
         def dev_band(band):
             if band is None:
                 return None
-            slabT, w0, fr, fc, fv, n, m, W = band
+            windows, fr, fc, fv, n, m = band
             return dict(
-                slabT=jnp.asarray(slabT, dtype=band_dtype or dtype),
-                w0=jnp.asarray(w0),
-                w0_rows=jnp.asarray(w0 // 128, dtype=jnp.int32),
+                windows=[
+                    dict(
+                        slabT=jnp.asarray(sT, dtype=band_dtype or dtype),
+                        w0=jnp.asarray(w0),
+                        w0_rows=jnp.asarray(w0 // 128, dtype=jnp.int32),
+                        W=W,
+                    )
+                    for sT, w0, W in windows
+                ],
                 far_rows=jnp.asarray(fr),
                 far_cols=jnp.asarray(fc),
                 far_vals=jnp.asarray(fv, dtype=dtype),
-                n=n, m=m, W=W, pallas=bool(band_pallas),
+                n=n, m=m, pallas=bool(band_pallas),
             )
 
         out = []
@@ -363,34 +389,37 @@ def _ell_mv(cols, vals, x):
 
 
 def _banded_mv(band, x):
-    """y = A x with A in block-banded dense form (plus the sparse 'far'
-    remainder).  On TPU the near part runs in the Pallas window kernel
-    (ops/pallas_banded.py); elsewhere as a window gather + batched
-    matmul."""
-    W = band["W"]
-    slabT = band["slabT"]
-    R = slabT.shape[1]
-    NB = slabT.shape[0] // W
-    if band.get("pallas"):
-        from ..ops.pallas_banded import banded_matvec
+    """y = A x with A in multi-window block-banded dense form (plus the
+    sparse 'far' remainder).  On TPU each window runs in the Pallas
+    kernel (ops/pallas_banded.py); elsewhere as a window gather +
+    batched matmul."""
+    n = band["n"]
+    y = None
+    for win in band["windows"]:
+        W = win["W"]
+        slabT = win["slabT"]
+        R = slabT.shape[1]
+        NB = slabT.shape[0] // W
+        if band.get("pallas"):
+            from ..ops.pallas_banded import banded_matvec
 
-        y = banded_matvec(
-            slabT, band["w0_rows"], x.astype(slabT.dtype), band["n"], W
-        ).astype(x.dtype)
-    else:
-        xp = jnp.pad(x, (0, W))
-        idx = (
-            band["w0"][:, None]
-            + jnp.arange(W, dtype=band["w0"].dtype)[None, :]
-        )
-        xw = xp[idx].astype(slabT.dtype)  # (NB, W) window gather
-        y = jax.lax.dot_general(
-            slabT.reshape(NB, W, R), xw[:, :, None],
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=x.dtype,
-        )  # (NB, R, 1)
-        y = y.reshape(NB * R)[: band["n"]].astype(x.dtype)
+            ys = banded_matvec(
+                slabT, win["w0_rows"], x.astype(slabT.dtype), n, W
+            ).astype(x.dtype)
+        else:
+            xp = jnp.pad(x, (0, W))
+            idx = (
+                win["w0"][:, None]
+                + jnp.arange(W, dtype=win["w0"].dtype)[None, :]
+            )
+            xw = xp[idx].astype(slabT.dtype)  # (NB, W) window gather
+            ys = jax.lax.dot_general(
+                slabT.reshape(NB, W, R), xw[:, :, None],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=x.dtype,
+            ).reshape(NB * R)[:n].astype(x.dtype)
+        y = ys if y is None else y + ys
     if band["far_rows"].shape[0]:
         y = y.at[band["far_rows"]].add(
             band["far_vals"] * x[band["far_cols"]]

@@ -88,12 +88,15 @@ def test_banded_matvec_interpret_matches_scipy():
     A = (A + F + F.T).tocsr()
     band = _csr_to_banded(A, R=256)
     assert band is not None
-    slabT, w0, fr, fc, fv, nn, mm, W = band
+    windows, fr, fc, fv, nn, mm = band
     dev = dict(
-        slabT=jnp.asarray(slabT, jnp.float32), w0=jnp.asarray(w0),
-        w0_rows=jnp.asarray(w0 // 128, jnp.int32),
+        windows=[
+            dict(slabT=jnp.asarray(sT, jnp.float32), w0=jnp.asarray(w0),
+                 w0_rows=jnp.asarray(w0 // 128, jnp.int32), W=W)
+            for sT, w0, W in windows
+        ],
         far_rows=jnp.asarray(fr), far_cols=jnp.asarray(fc),
-        far_vals=jnp.asarray(fv, jnp.float32), n=nn, m=mm, W=W,
+        far_vals=jnp.asarray(fv, jnp.float32), n=nn, m=mm,
         pallas=False,
     )
     x = jnp.asarray(rng.standard_normal(n), jnp.float32)
@@ -103,9 +106,12 @@ def test_banded_matvec_interpret_matches_scipy():
     y_xla = np.asarray(_banded_mv(dev, x))
     assert np.abs(y_xla - y_ref).max() / scale < 1e-5
 
-    y_near = banded_matvec(dev["slabT"], dev["w0_rows"], x, nn, W,
-                           interpret=True)
+    y_pl = sum(
+        banded_matvec(w["slabT"], w["w0_rows"], x, nn, w["W"],
+                      interpret=True)
+        for w in dev["windows"]
+    )
     y_pl = np.asarray(
-        y_near.at[dev["far_rows"]].add(dev["far_vals"] * x[dev["far_cols"]])
+        y_pl.at[dev["far_rows"]].add(dev["far_vals"] * x[dev["far_cols"]])
     )
     assert np.abs(y_pl - y_ref).max() / scale < 1e-5
