@@ -49,10 +49,9 @@ def _time_steps(sim, n_steps):
     chunk = sim._chunk(1)
     state, _ = chunk(state)  # warm-up/compile
     state.t.block_until_ready()
-    it_e, it_k = [], []
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, (ce, ck) = chunk(state)
+        state, (ce, ck, _ok) = chunk(state)
     state.t.block_until_ready()
     wall = time.perf_counter() - t0
     return wall, state, ce, ck

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from ..systems.types import SimState
 
 _DICT_FIELDS = ("c", "phi", "phi_M", "ode_states", "ode_params")
-_SCALAR_FIELDS = ("t", "step", "emi_iters", "knp_iters")
+_SCALAR_FIELDS = (
+    "t", "step", "emi_iters", "knp_iters",
+    "emi_ok", "knp_ok", "emi_res", "knp_res",
+)
 
 
 def save_checkpoint(path, state: SimState, **metadata):

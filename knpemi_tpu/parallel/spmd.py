@@ -160,10 +160,10 @@ class SpmdSimulation:
             I_ch[m] = jnp.stack([cur[ion.name] for ion in sim.ions])
 
         # [2] EMI solve
-        phi, emi_iters = emi_solver.solve(state.c, phi_M_new, I_ch, x0=state.phi)
+        phi, emi_info = emi_solver.solve(state.c, phi_M_new, I_ch, x0=state.phi)
 
         # [3] KNP solve
-        c_solved, knp_iters = knp_solver.solve(
+        c_solved, knp_info = knp_solver.solve(
             state.c, phi, phi_M_new, I_ch,
             source_gate=sim.source_gate(state.t), x0=state.c,
         )
@@ -177,7 +177,9 @@ class SpmdSimulation:
             c=c_new, phi=phi, phi_M=phi_M_pde,
             ode_states=ode_states, ode_params=ode_params,
             t=state.t + dt, step=state.step + 1,
-            emi_iters=emi_iters, knp_iters=knp_iters,
+            emi_iters=emi_info.iters, knp_iters=knp_info.iters,
+            emi_ok=emi_info.converged, knp_ok=knp_info.converged,
+            emi_res=emi_info.resnorm, knp_res=knp_info.resnorm,
         )
 
     # ------------------------------------------------------------------

@@ -49,6 +49,10 @@ class SolverOptions:
     # EMI preconditioner: 'mg' (smoothed-aggregation AMG, the BoomerAMG
     # analog, solvers/mg.py) or 'jacobi' (deflated Jacobi fallback)
     emi_precond: str = "mg"
+    # what Simulation.run does when a Krylov solve fails to converge:
+    # 'raise' (reference parity: ksp_error_if_not_converged,
+    # pdeSolver.py:20,27,95), 'warn', or 'ignore'
+    on_divergence: str = "raise"
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
@@ -265,12 +269,12 @@ class Simulation:
             I_ch[m] = jnp.stack([cur[ion.name] for ion in self.ions])
 
         # [2] EMI solve (kappa rebuilt from previous concentrations)
-        phi, emi_iters = self.emi_solver.solve(
+        phi, emi_info = self.emi_solver.solve(
             state.c, phi_M_new, I_ch, x0=state.phi
         )
 
         # [3] KNP solve (drift linearized around the fresh phi)
-        c_solved, knp_iters = self.knp_solver.solve(
+        c_solved, knp_info = self.knp_solver.solve(
             state.c, phi, phi_M_new, I_ch,
             source_gate=self.source_gate(state.t),
             x0=state.c,
@@ -289,8 +293,12 @@ class Simulation:
             ode_params=ode_params,
             t=state.t + dt,
             step=state.step + 1,
-            emi_iters=emi_iters,
-            knp_iters=knp_iters,
+            emi_iters=emi_info.iters,
+            knp_iters=knp_info.iters,
+            emi_ok=emi_info.converged,
+            knp_ok=knp_info.converged,
+            emi_res=emi_info.resnorm,
+            knp_res=knp_info.resnorm,
         )
 
     # ------------------------------------------------------------------
@@ -304,7 +312,8 @@ class Simulation:
 
             def body(s, _):
                 s2 = self.step(s)
-                return s2, (s2.emi_iters, s2.knp_iters)
+                return s2, (s2.emi_iters, s2.knp_iters,
+                            s2.emi_ok & s2.knp_ok)
 
             def chunk(s, emi_mg, knp_mg):
                 old = self.emi_solver.mg, self.knp_solver.mg
@@ -350,7 +359,7 @@ class Simulation:
             if n != chunk_n:
                 chunk = self._chunk(n)
             t0 = time.perf_counter()
-            state, (ce, ck) = chunk(state)
+            state, (ce, ck, ok) = chunk(state)
             state.t.block_until_ready()
             if verbose:
                 dt_wall = time.perf_counter() - t0
@@ -362,6 +371,27 @@ class Simulation:
             it_e.append(np.asarray(ce))
             it_k.append(np.asarray(ck))
             done += n
+            self._check_health(state, np.asarray(ok), done - n)
             if observer:
                 observer(state)
         return state, np.concatenate(it_e), np.concatenate(it_k)
+
+    def _check_health(self, state, ok_steps: np.ndarray, offset: int = 0):
+        """Fail fast on Krylov non-convergence (reference parity:
+        ksp_error_if_not_converged aborts the run, pdeSolver.py:20)."""
+        mode = getattr(self.opts, "on_divergence", "raise")
+        if mode == "ignore" or bool(ok_steps.all()):
+            return
+        bad = int(np.flatnonzero(~ok_steps)[0]) + offset + 1
+        msg = (
+            f"Krylov solve did NOT converge at step {bad}: "
+            f"emi_ok={bool(state.emi_ok)} (res {float(state.emi_res):.3e}), "
+            f"knp_ok={bool(state.knp_ok)} (res {float(state.knp_res):.3e}). "
+            "Increase maxiter, refresh the MG hierarchy, or relax rtol."
+        )
+        if mode == "warn":
+            from ..utils.logging import warn
+
+            warn(msg)
+        else:
+            raise RuntimeError(msg)

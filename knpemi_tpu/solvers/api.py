@@ -18,9 +18,24 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple
+
 from .cg import cg
 from .gmres import gmres
 from . import direct as direct_mod
+
+
+class SolveInfo(NamedTuple):
+    """Health of one linear solve (aggregated over blocks for KNP).
+
+    The reference surfaces this through PETSc's
+    ``ksp_error_if_not_converged`` (pdeSolver.py:20,27,95); here the jitted
+    step threads it into SimState and ``Simulation.run`` checks on host.
+    """
+
+    iters: jnp.ndarray
+    resnorm: jnp.ndarray
+    converged: jnp.ndarray
 
 
 def _equilibrate(A, b, diag, x0=None):
@@ -61,14 +76,14 @@ class EMISolver:
         self.mg = mg
 
     def solve(self, c, phi_M, I_ch=None, x0: Optional[Dict[int, jnp.ndarray]] = None):
-        """Returns ({tag: phi}, iters)."""
+        """Returns ({tag: phi}, SolveInfo)."""
         sys_ = self.system
         if self.direct:
-            import numpy as np
-
             x = direct_mod.solve_emi_direct(sys_, c, phi_M, I_ch)
             x = jnp.asarray(x)
-            return sys_.split(x), jnp.int32(0)
+            return sys_.split(x), SolveInfo(
+                jnp.int32(0), jnp.asarray(0.0, x.dtype), jnp.asarray(True)
+            )
 
         kappa = sys_.kappa(c)
         ctx = sys_.prepare(kappa)  # once per solve (kappa gathers etc.)
@@ -98,7 +113,9 @@ class EMISolver:
                 rtol=self.rtol, atol=self.atol, maxiter=self.maxiter,
                 nullspace=nullvec, dot=self.dot,
             )
-            return sys_.split(s * res.x), res.iters
+            return sys_.split(s * res.x), SolveInfo(
+                res.iters, res.resnorm, res.converged
+            )
 
         W_cols = []
         for t in sys_.tags:
@@ -129,7 +146,9 @@ class EMISolver:
             nullspace=nullvec,
             dot=self.dot,
         )
-        return sys_.split(s * res.x), res.iters
+        return sys_.split(s * res.x), SolveInfo(
+            res.iters, res.resnorm, res.converged
+        )
 
 
 class KNPSolver:
@@ -166,20 +185,27 @@ class KNPSolver:
         source_gate=1.0,
         x0: Optional[Dict[int, jnp.ndarray]] = None,
     ):
-        """Returns ({tag: (N_solved, n)}, iters).
+        """Returns ({tag: (N_solved, n)}, SolveInfo).
 
-        iters is the max over blocks — the analog of the reference's single
-        MatNest GMRES iteration count.
+        SolveInfo aggregates over the (subdomain, ion) blocks — iters and
+        resnorm are the max, converged the conjunction — the analog of the
+        reference's single MatNest GMRES iteration count.
         """
         sys_ = self.system
         if self.direct:
             out = direct_mod.solve_knp_direct(sys_, c, phi, phi_M, I_ch, source_gate)
-            return {t: jnp.asarray(v) for t, v in out.items()}, jnp.int32(0)
+            out = {t: jnp.asarray(v) for t, v in out.items()}
+            dt0 = next(iter(out.values())).dtype
+            return out, SolveInfo(
+                jnp.int32(0), jnp.asarray(0.0, dt0), jnp.asarray(True)
+            )
 
         rhs = sys_.rhs(c, phi, phi_M, I_ch, source_gate)
         gradphi = sys_.gradphi_cells(phi)
         out = {}
         iters = jnp.int32(0)
+        resnorm = None
+        converged = jnp.asarray(True)
         for t in sys_.tags:
             diag = sys_.diag(t, gradphi[t])  # (Ns, n)
 
@@ -218,21 +244,26 @@ class KNPSolver:
                 def scan_body(carry, inp, t=t):
                     b_row, d_row, x0_row, D_k, z_k = inp
                     res_k = solve_one(b_row, d_row, x0_row, D_k, z_k)
-                    return carry, (res_k.x, res_k.iters)
+                    return carry, (res_k.x, res_k.iters, res_k.resnorm,
+                                   res_k.converged)
 
-                _, (xs, its) = jax.lax.scan(
+                _, (xs, its, rns, oks) = jax.lax.scan(
                     scan_body, None,
                     (rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved),
                 )
                 out[t] = xs
                 iters = jnp.maximum(iters, its.max())
+                rn_t, ok_t = rns.max(), oks.all()
             else:
                 res = jax.vmap(solve_one)(
                     rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved
                 )
                 out[t] = res.x
                 iters = jnp.maximum(iters, res.iters.max())
-        return out, iters
+                rn_t, ok_t = res.resnorm.max(), res.converged.all()
+            resnorm = rn_t if resnorm is None else jnp.maximum(resnorm, rn_t)
+            converged = converged & ok_t
+        return out, SolveInfo(iters, resnorm, converged)
 
 
 def create_solver_emi(system, direct=False, rtol=1e-5, atol=1e-40, **kw) -> EMISolver:

@@ -92,3 +92,10 @@ class SimState(NamedTuple):
     step: jnp.ndarray
     emi_iters: jnp.ndarray
     knp_iters: jnp.ndarray
+    # solver health of the last step (the reference fails fast via
+    # ksp_error_if_not_converged, pdeSolver.py:20,27,95; Simulation.run
+    # checks these on the host after every chunk and raises/warns)
+    emi_ok: jnp.ndarray = jnp.asarray(True)
+    knp_ok: jnp.ndarray = jnp.asarray(True)
+    emi_res: jnp.ndarray = jnp.asarray(0.0)
+    knp_res: jnp.ndarray = jnp.asarray(0.0)

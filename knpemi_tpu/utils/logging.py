@@ -28,6 +28,10 @@ def log_step(t: float, unit: str = "s", extra: str = ""):
     print(f"{bcolors.OKBLUE}Solving for t = {t:.4f} {unit}{bcolors.ENDC} {extra}")
 
 
+def warn(msg: str):
+    print(f"{bcolors.WARNING}WARNING: {msg}{bcolors.ENDC}")
+
+
 class Timer:
     """Scoped wall-clock timer: ``with Timer('ODE step') as t: ...``."""
 

@@ -39,9 +39,9 @@ def _solve(M, iterative=False):
     if iterative:
         emi_solver = create_solver_emi(esys, rtol=1e-10, maxiter=4000)
         knp_solver = create_solver_knp(ksys, rtol=1e-10, maxiter=4000)
-        phi, it_emi = emi_solver.solve(c0, phiM0)
-        cK, it_knp = knp_solver.solve(c0, phi, phiM0)
-        assert int(it_emi) < 4000 and int(it_knp) < 4000
+        phi, info_emi = emi_solver.solve(c0, phiM0)
+        cK, info_knp = knp_solver.solve(c0, phi, phiM0)
+        assert int(info_emi.iters) < 4000 and int(info_knp.iters) < 4000
     else:
         x = D.solve_emi_direct(esys, c0, phiM0)
         phi = esys.split(jnp.asarray(x))
