@@ -53,6 +53,11 @@ class SolverOptions:
     # 'raise' (reference parity: ksp_error_if_not_converged,
     # pdeSolver.py:20,27,95), 'warn', or 'ignore'
     on_divergence: str = "raise"
+    # refresh the lagged EMI hierarchy's values from the current
+    # concentrations every N steps (0 = never).  Shapes are frozen, so
+    # the refresh swaps into the compiled chunk without recompiling
+    # (refresh_mg docstring); the cost is one host assembly + RAP sweep.
+    mg_refresh_every: int = 0
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
@@ -151,20 +156,26 @@ class Simulation:
         self._chunk_jit = {}
 
     # ------------------------------------------------------------------
-    def _setup_emi_mg(self):
-        """Build the lagged EMI multigrid hierarchy from the initial
-        conductivity (host, once; see solvers/mg.py docstring)."""
+    def _emi_Ahat(self, c):
+        """Assemble the equilibrated EMI operator for concentrations c
+        (host scipy); returns (A_hat, s) with A_hat = S A S, S=diag(s)."""
         import scipy.sparse as sp
         from ..solvers import direct as direct_mod
-        from ..solvers.mg import build_hierarchy
 
-        c0 = set_initial_conditions(self.geom, self.ions, dtype=jnp.float64)
-        kappa0 = {t: np.asarray(v) for t, v in self.emi_sys.kappa(c0).items()}
-        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa0)
+        kappa = {t: np.asarray(v) for t, v in self.emi_sys.kappa(c).items()}
+        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
         d = A0.diagonal()
         s = 1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1.0)))
         S = sp.diags(s)
-        A_hat = (S @ A0 @ S).tocsr()
+        return (S @ A0 @ S).tocsr(), s
+
+    def _setup_emi_mg(self):
+        """Build the lagged EMI multigrid hierarchy from the initial
+        conductivity (host, once; see solvers/mg.py docstring)."""
+        from ..solvers.mg import build_hierarchy
+
+        c0 = set_initial_conditions(self.geom, self.ions, dtype=jnp.float64)
+        A_hat, s = self._emi_Ahat(c0)
         hier = build_hierarchy(
             A_hat,
             B=1.0 / s,
@@ -173,6 +184,37 @@ class Simulation:
             nu=self.opts.mg_nu,
             banded=self._mg_banded,
         )
+        self._emi_hier = hier
+        self.emi_solver.mg = hier.device(
+            self.dtype, band_dtype=self._band_dtype,
+            band_pallas=self._use_pallas,
+        )
+
+    def refresh_mg(self, state: SimState):
+        """Rebuild the EMI hierarchy VALUES from the current concentrations
+        with frozen transfer operators and sparsity (solvers/mg.py::
+        refresh_hierarchy) — every array keeps its shape, so the refreshed
+        DeviceMG swaps into the compiled chunk with NO recompilation (it is
+        a jit argument).  The KNP hierarchies never need refreshing: their
+        setup operator (mass + mean-D stiffness) is time-constant.
+
+        The reference re-runs hypre's setup implicitly whenever PETSc
+        reassembles (pdeSolver.py:32); this is the TPU-native analog,
+        amortized to every ``SolverOptions.mg_refresh_every`` steps."""
+        from ..solvers.mg import refresh_hierarchy, build_hierarchy
+
+        A_hat, s = self._emi_Ahat(state.c)
+        try:
+            hier = refresh_hierarchy(self._emi_hier, A_hat)
+        except ValueError:
+            # sparsity drifted (cannot happen for pure value updates, but
+            # stay safe): full rebuild — costs a recompile downstream
+            hier = build_hierarchy(
+                A_hat, B=1.0 / s, theta=self.opts.mg_theta,
+                coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
+                banded=self._mg_banded,
+            )
+        self._emi_hier = hier
         self.emi_solver.mg = hier.device(
             self.dtype, band_dtype=self._band_dtype,
             band_pallas=self._use_pallas,
@@ -242,6 +284,12 @@ class Simulation:
             step=jnp.asarray(0, jnp.int32),
             emi_iters=jnp.asarray(0, jnp.int32),
             knp_iters=jnp.asarray(0, jnp.int32),
+            # committed dtypes matching what step() produces, so the
+            # second chunk call does not retrace on weak->strong drift
+            emi_ok=jnp.asarray(True),
+            knp_ok=jnp.asarray(True),
+            emi_res=jnp.asarray(0.0, self.dtype),
+            knp_res=jnp.asarray(0.0, self.dtype),
         )
 
     # ------------------------------------------------------------------
@@ -372,6 +420,10 @@ class Simulation:
             it_k.append(np.asarray(ck))
             done += n
             self._check_health(state, np.asarray(ok), done - n)
+            every = getattr(self.opts, "mg_refresh_every", 0)
+            if every and done < n_steps and done % every == 0 \
+                    and getattr(self, "_emi_hier", None) is not None:
+                self.refresh_mg(state)
             if observer:
                 observer(state)
         return state, np.concatenate(it_e), np.concatenate(it_k)

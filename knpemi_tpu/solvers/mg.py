@@ -142,6 +142,9 @@ class MGLevel:
     a_band: Optional[tuple] = None
     p_band: Optional[tuple] = None
     pt_band: Optional[tuple] = None
+    # host-side prolongator (kept for value refresh: Galerkin RAP with
+    # frozen P, see refresh_hierarchy); never shipped to the device
+    P_csr: Optional[sp.csr_matrix] = None
 
 
 def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
@@ -361,7 +364,8 @@ def build_hierarchy(
         df = np.where(df != 0, df, 1.0)
         P = (Pt - (omega_p / lam_f) * (sp.diags(1.0 / df) @ (Af @ Pt))).tocsr()
 
-        lv = MGLevel(n=n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)))
+        lv = MGLevel(n=n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)),
+                     P_csr=P)
         if levels or fine_ell:  # store the (lagged) operator in ELL form
             lv.a_cols, lv.a_vals = _csr_to_ell(A)
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
@@ -427,87 +431,83 @@ def _banded_mv(band, x):
     return y
 
 
-def host_apply(hier: MGHierarchy, A_csr, r: np.ndarray) -> np.ndarray:
-    """Host (numpy) V-cycle application — used by the setup-time
-    auto-tuner to score candidate hierarchies.  Runs in r.dtype so the
-    probe reflects the deployment precision (f32 noise amplification by
-    the coarse solve is hierarchy-dependent)."""
-    dt = r.dtype
+def _csr_fill_banded(A: sp.csr_matrix, band):
+    """Refill a block-banded layout with the values of ``A``, keeping the
+    window geometry (w0, W) and therefore every array shape IDENTICAL to
+    ``band``.  Requires A to have the same sparsity pattern as the matrix
+    the layout was built from (true for operator value refreshes: the
+    mesh and the weak form's structure are static)."""
+    windows, fr, fc, fv, n, m = band
+    A = A.tocsr()
+    assert A.shape == (n, m)
+    indptr, indices, data = A.indptr, A.indices, A.data
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    R = windows[0][0].shape[1]
+    blk = rows // R
+    remaining = np.ones(A.nnz, bool)
+    new_windows = []
+    for slabT_old, w0, W in windows:
+        loc = indices - w0[blk]
+        inside = remaining & (loc >= 0) & (loc < W)
+        slabT = np.zeros_like(slabT_old)
+        slabT[blk[inside] * W + loc[inside], rows[inside] % R] = data[inside]
+        new_windows.append((slabT, w0, W))
+        remaining = remaining & ~inside
+    far_rows = rows[remaining].astype(np.int32)
+    far_cols = indices[remaining].astype(np.int32)
+    far_vals = data[remaining]
+    if len(far_rows) != len(fr):
+        raise ValueError(
+            f"sparsity drift during banded refresh: {len(far_rows)} far "
+            f"entries vs {len(fr)} in the original layout"
+        )
+    return new_windows, far_rows, far_cols, far_vals, n, m
 
-    def cycle(r, i=0):
-        if i == len(hier.levels):
-            V = hier.coarse_V.astype(dt)
-            return V @ (hier.coarse_ilam.astype(dt) * (V.T @ r))
-        lv = hier.levels[i]
-        if i == 0 and lv.a_cols is None:
-            Aop = lambda x: (A_csr @ x).astype(dt)
-        else:
-            av = lv.a_vals.astype(dt)
-            Aop = lambda x: (av * x[lv.a_cols]).sum(axis=1)
-        dinv = (lv.omega / lv.diag).astype(dt)
-        x = dinv * r
-        rc = (lv.pt_vals.astype(dt) * (r - Aop(x))[lv.pt_cols]).sum(axis=1)
-        xc = cycle(rc, i + 1)
-        x = x + (lv.p_vals.astype(dt) * xc[lv.p_cols]).sum(axis=1)
-        x = x + dinv * (r - Aop(x))
-        return x
 
-    return cycle(r)
+def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarchy:
+    """Value-refresh of a lagged hierarchy for the CURRENT operator,
+    keeping every array shape fixed so the refreshed DeviceMG can be
+    swapped into a compiled step without recompilation (DeviceMG travels
+    as a jit argument, sim/stepper.py::_chunk).
 
-
-def tune_hierarchy(
-    A_hat, B, thetas=(0.08, 0.04, 0.02), coarse_max=800, nu=1,
-    probe_iters=20, dtype=np.float64, b=None,
-):
-    """Build candidate hierarchies over strength thresholds and keep the
-    one with the fastest host-PCG residual reduction, probed IN THE
-    DEPLOYMENT DTYPE and (when given) ON THE PHYSICAL RHS — the optimal
-    theta is mesh-dependent, and f32 noise amplification by a candidate's
-    coarse solve can stall exactly the physically driven modes while
-    passing a random-vector probe."""
-    n = A_hat.shape[0]
-    dt = np.dtype(dtype)
-    A_probe = A_hat.astype(dt)
-    if b is None:
-        rng = np.random.default_rng(0)
-        b = rng.standard_normal(n)
-    b = np.asarray(b, dt).copy()
-    b -= b.mean()
-    if np.linalg.norm(b) == 0:
-        b = np.random.default_rng(0).standard_normal(n).astype(dt)
-        b -= b.mean()
-    bn = np.linalg.norm(b)
-    best = None
-    best_res = np.inf
-    for theta in thetas:
-        hier = build_hierarchy(A_hat, B=B, theta=theta,
-                               coarse_max=coarse_max, nu=nu)
-        x = np.zeros(n, dt)
-        r = b.copy()
-        z = host_apply(hier, A_probe, r)
-        z -= z.mean()
-        p = z.copy()
-        gam = float(r @ z)
-        res_best_run = np.inf
-        for _ in range(probe_iters):
-            Ap = (A_probe @ p).astype(dt)
-            Ap -= Ap.mean()
-            denom = float(p @ Ap)
-            if denom <= 0 or not np.isfinite(denom):
-                break
-            al = gam / denom
-            x += al * p
-            r -= al * Ap
-            res_best_run = min(res_best_run, float(np.linalg.norm(r)) / bn)
-            z = host_apply(hier, A_probe, r)
-            z -= z.mean()
-            g2 = float(r @ z)
-            p = z + (g2 / gam) * p
-            gam = g2
-        if res_best_run < best_res:
-            best_res = res_best_run
-            best = hier
-    return best
+    Transfer operators are FROZEN at their setup-time values (standard
+    practice for modest coefficient drift — the reference's hypre setup
+    is likewise reused across solves within a step); level operators are
+    recomputed by Galerkin products A_{l+1} = P_l^T A_l P_l with the
+    frozen P_l, so smoothers and coarse corrections track the current
+    coefficients.  Raises ValueError if the sparsity pattern drifted
+    (caller should fall back to a full build_hierarchy + recompile).
+    """
+    A = A_hat_new.tocsr()
+    new_levels: List[MGLevel] = []
+    for lv in hier.levels:
+        if A.shape[0] != lv.n:
+            raise ValueError("level size mismatch during refresh")
+        diag = A.diagonal()
+        diag = np.where(np.abs(diag) > 0, diag, 1.0)
+        nl = MGLevel(
+            n=lv.n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)),
+            p_cols=lv.p_cols, p_vals=lv.p_vals,
+            pt_cols=lv.pt_cols, pt_vals=lv.pt_vals,
+            p_band=lv.p_band, pt_band=lv.pt_band,
+            P_csr=lv.P_csr,
+        )
+        if lv.a_cols is not None:
+            nl.a_cols, nl.a_vals = _csr_to_ell(A)
+            if nl.a_vals.shape != lv.a_vals.shape:
+                raise ValueError(
+                    f"ELL width drift during refresh: {nl.a_vals.shape} "
+                    f"vs {lv.a_vals.shape}"
+                )
+        if lv.a_band is not None:
+            nl.a_band = _csr_fill_banded(A, lv.a_band)
+        new_levels.append(nl)
+        A = (lv.P_csr.T @ A @ lv.P_csr).tocsr()
+    lam, V = np.linalg.eigh(A.toarray())
+    lmax = np.abs(lam).max() if len(lam) else 1.0
+    ilam = np.where(np.abs(lam) > 1e-10 * lmax, 1.0 / lam, 0.0)
+    return MGHierarchy(levels=new_levels, coarse_V=V, coarse_ilam=ilam,
+                       nu=hier.nu)
 
 
 @jax.tree_util.register_pytree_node_class
