@@ -98,13 +98,56 @@ def build_simulation(resolution=0, direct=False, f_value=500.0, dtype=None,
     return sim
 
 
-def solve_system(resolution=0, Tstop=5.0, direct=False, verbose=True):
+def _probe_points(sim):
+    """Evaluation points mirroring the reference's hand-picked ECS / ICS /
+    membrane coordinates (reference make_figures.py:126-143): the ECS dof
+    nearest the source-box center, the ICS dof nearest the glial
+    centroid, and the membrane-5 dof nearest that ICS point."""
+    ecs = sim.geom.subdomains[0]
+    ics = sim.geom.subdomains[1]
+    mem = sim.geom.membranes[5]
+    box_c = np.array([2500e-7, 2500e-7, 2300e-7])[: ecs.coords.shape[1]]
+    p_e = int(np.argmin(((ecs.coords - box_c) ** 2).sum(axis=1)))
+    cen = ics.coords.mean(axis=0)
+    p_i = int(np.argmin(((ics.coords - cen) ** 2).sum(axis=1)))
+    p_m = int(np.argmin(((mem.coords - ics.coords[p_i]) ** 2).sum(axis=1)))
+    return p_e, p_i, p_m
+
+
+def solve_system(resolution=0, Tstop=5.0, direct=False, verbose=True,
+                 outdir=None, save_every=1):
     sim = build_simulation(resolution, direct=direct)
     state = sim.init_state()
     n_steps = int(round(Tstop / sim.params.dt))
+    ion_idx = {ion.name: k for k, ion in enumerate(sim.ions)}
+    p_e, p_i, p_m = _probe_points(sim)
+    mem = sim.geom.membranes[5]
+    traces = {k: [] for k in (
+        "t", "Na_e", "K_e", "Cl_e", "phi_e", "Na_i", "K_i", "Cl_i",
+        "phi_i", "phi_M", "tr_K_e", "tr_K_i", "tr_Na_e", "tr_Na_i",
+    )}
+
+    def observer(s):
+        traces["t"].append(float(s.t))
+        for name in ("Na", "K", "Cl"):
+            traces[f"{name}_e"].append(float(s.c[0][ion_idx[name], p_e]))
+            traces[f"{name}_i"].append(float(s.c[1][ion_idx[name], p_i]))
+        traces["phi_e"].append(float(s.phi[0][p_e]))
+        traces["phi_i"].append(float(s.phi[1][p_i]))
+        traces["phi_M"].append(float(s.phi_M[5][p_m]))
+        # two-sided membrane traces for the Nernst-potential panels
+        for name in ("K", "Na"):
+            k = ion_idx[name]
+            traces[f"tr_{name}_e"].append(
+                float(s.c[0][k, mem.mem_to_ecs[p_m]])
+            )
+            traces[f"tr_{name}_i"].append(
+                float(s.c[1][k, mem.mem_to_ics[p_m]])
+            )
+
     t0 = time.perf_counter()
-    state, it_emi, it_knp = sim.run(state, n_steps, save_every=10,
-                                    verbose=verbose)
+    state, it_emi, it_knp = sim.run(state, n_steps, save_every=save_every,
+                                    observer=observer, verbose=verbose)
     wall = time.perf_counter() - t0
     if verbose:
         print(
@@ -116,6 +159,19 @@ def solve_system(resolution=0, Tstop=5.0, direct=False, verbose=True):
             print(f"  membrane {m}: phi_M in [{pm.min():.2f}, {pm.max():.2f}] mV")
         print(f"  K_e in [{float(state.c[0][0].min()):.2f}, "
               f"{float(state.c[0][0].max()):.2f}] mM")
+    if outdir:
+        out = Path(outdir)
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez(out / "traces.npz",
+                 **{k: np.asarray(v) for k, v in traces.items()})
+        # txt exports for external comparison, as the reference writes
+        # (make_figures.py:227-252: phi_M.txt, K_ECS.txt, ...)
+        for fname, key in [("phi_M", "phi_M"), ("K_ECS", "K_e"),
+                           ("K_ICS", "K_i"), ("Na_ECS", "Na_e"),
+                           ("Na_ICS", "Na_i")]:
+            np.savetxt(out / f"{fname}.txt", np.asarray(traces[key]),
+                       fmt="%.10f")
+        print(f"wrote {out}/traces.npz (+txt exports)")
     return state, it_emi, it_knp
 
 
@@ -126,10 +182,13 @@ if __name__ == "__main__":
     ap.add_argument("--direct", action="store_true")
     ap.add_argument("--mesh", default=None,
                     help="remarked emimesh XDMF instead of synthetic tissue")
+    ap.add_argument("--outdir", default="results/benchmark",
+                    help="directory for traces.npz / txt exports")
     args = ap.parse_args()
     mesh = None
     if args.mesh:
         from knpemi_tpu.io import read_mesh
 
         mesh = read_mesh(args.mesh)
-    solve_system(args.resolution, Tstop=args.Tstop, direct=args.direct)
+    solve_system(args.resolution, Tstop=args.Tstop, direct=args.direct,
+                 outdir=args.outdir)

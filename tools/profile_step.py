@@ -33,6 +33,32 @@ def timeit(fn, *args, reps=20, warmup=2):
     return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
+def loop_timeit(op, x, *extra, K=50, reps=3):
+    """Amortized per-op cost with the op chained K times INSIDE one jit —
+    strips the per-dispatch overhead of the remote-TPU tunnel that
+    inflates `timeit` numbers by several ms.  ``op(x, *extra)`` must
+    return an array of x's shape."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(x, *extra):
+        def body(i, x):
+            y = op(x, *extra)
+            # data dependency on i defeats loop-invariant hoisting
+            return y + 0.0 * jnp.asarray(i, y.dtype)
+
+        return jax.lax.fori_loop(0, K, body, x)
+
+    j = jax.jit(run)
+    out = j(x, *extra)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = j(x, *extra)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (reps * K) * 1e3  # ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="3d")
@@ -105,23 +131,31 @@ def main():
     phi, emi_it = emi_j(state, I_ch, sim.emi_solver.mg)
     print(f"EMI solve          : {t_emi:8.2f} ms   ({int(emi_it)} iters)")
 
-    # EMI internals
+    # EMI internals (loop-amortized: true per-op device cost)
     es = sim.emi_sys
     kappa = jax.jit(es.kappa)(state.c)
     ctx = jax.jit(es.prepare)(kappa)
     x = jnp.concatenate([state.phi[t] for t in es.tags])
-    mv = jax.jit(lambda x, ctx: es.matvec(x, ctx))
-    print(f"  EMI matvec       : {timeit(mv, x, ctx, reps=R):8.2f} ms")
+    print(f"  EMI matvec       : {loop_timeit(lambda v: es.matvec(v, ctx), x):8.3f} ms/op")
     rhs_j = jax.jit(lambda c, pm, I: es.rhs(c, pm, I))
-    print(f"  EMI rhs          : {timeit(rhs_j, state.c, state.phi_M, I_ch, reps=R):8.2f} ms")
+    print(f"  EMI rhs          : {timeit(rhs_j, state.c, state.phi_M, I_ch, reps=R):8.2f} ms (dispatch incl.)")
     diag_j = jax.jit(es.diag)
-    print(f"  EMI diag         : {timeit(diag_j, kappa, reps=R):8.2f} ms")
+    print(f"  EMI diag         : {timeit(diag_j, kappa, reps=R):8.2f} ms (dispatch incl.)")
     if sim.emi_solver.mg is not None:
         d = diag_j(kappa)
         s = 1.0 / jnp.sqrt(jnp.abs(d))
         Ah = lambda v: s * es.matvec(s * v, ctx)
-        vc = jax.jit(lambda r, mg: mg.apply(Ah, r))
-        print(f"  EMI V-cycle      : {timeit(vc, x, sim.emi_solver.mg, reps=R):8.2f} ms")
+        mg0 = sim.emi_solver.mg
+        print(f"  EMI V-cycle      : {loop_timeit(lambda r, mg: mg.apply(Ah, r), x, mg0):8.3f} ms/op")
+        lv0 = mg0.levels[0]
+        if lv0.get("a_band") is not None:
+            from knpemi_tpu.solvers.mg import _banded_mv
+
+            print(f"  EMI lagged banded: {loop_timeit(lambda v: _banded_mv(lv0['a_band'], v), x):8.3f} ms/op")
+        if lv0.get("a_cols") is not None:
+            from knpemi_tpu.solvers.mg import _ell_mv
+
+            print(f"  EMI lagged ELL   : {loop_timeit(lambda v: _ell_mv(lv0['a_cols'], lv0['a_vals'], v), x):8.3f} ms/op")
 
     # --- phase 3: KNP solve -------------------------------------------
     def phase_knp(state, phi, I_ch, mg):
@@ -143,25 +177,26 @@ def main():
 
     ks = sim.knp_sys
     rhs_k = jax.jit(lambda c, ph, pm, I: ks.rhs(c, ph, pm, I, 1.0))
-    print(f"  KNP rhs          : {timeit(rhs_k, state.c, phi, state.phi_M, I_ch, reps=R):8.2f} ms")
+    print(f"  KNP rhs          : {timeit(rhs_k, state.c, phi, state.phi_M, I_ch, reps=R):8.2f} ms (dispatch incl.)")
     gp = jax.jit(ks.gradphi_cells)(phi)
     for t in ks.tags:
-        mv1 = jax.jit(
-            lambda v, gp_t, t=t: ks.matvec_one(
-                t, v, gp_t, float(sim.ions[0].D[t]), float(sim.ions[0].z)
-            )
-        )
         v = state.c[t][0]
-        print(f"  KNP matvec tag{t} : {timeit(mv1, v, gp[t], reps=R):8.2f} ms")
+        t_mv = loop_timeit(
+            lambda w, t=t: ks.matvec_one(
+                t, w, gp[t], float(sim.ions[0].D[t]), float(sim.ions[0].z)
+            ),
+            v,
+        )
+        print(f"  KNP matvec tag{t} : {t_mv:8.3f} ms/op")
         mg_t = sim.knp_solver.mg.get(t) if sim.knp_solver.mg else None
         if mg_t is not None:
             dk = jax.jit(lambda g, t=t: ks.diag(t, g))(gp[t])[0]
             sk = 1.0 / jnp.sqrt(jnp.abs(dk))
-            Ahk = lambda v: sk * ks.matvec_one(
-                t, sk * v, gp[t], float(sim.ions[0].D[t]), float(sim.ions[0].z)
+            Ahk = lambda w, t=t: sk * ks.matvec_one(
+                t, sk * w, gp[t], float(sim.ions[0].D[t]), float(sim.ions[0].z)
             )
-            vck = jax.jit(lambda r, mg: mg.apply(Ahk, r))
-            print(f"  KNP V-cycle tag{t}: {timeit(vck, v, mg_t, reps=R):8.2f} ms")
+            t_vc = loop_timeit(lambda r, mg: mg.apply(Ahk, r), v, mg_t)
+            print(f"  KNP V-cycle tag{t}: {t_vc:8.3f} ms/op")
 
     # --- phase 4: coupling refresh --------------------------------------
     upd = jax.jit(
