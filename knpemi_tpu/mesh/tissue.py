@@ -121,3 +121,27 @@ def remark_emimesh(
             membrane_slab_tags,
         )
     return out
+
+
+def find_roi_points(coords: np.ndarray, roi_lo, roi_hi, offsets=(0, -5, 5)):
+    """Probe points inside an ROI box, picked around the median index of
+    the in-box points — the discovery step the reference's astrocyte
+    ``remark_mesh.py::print_coordinates`` runs to choose the evaluation
+    coordinates hard-coded into its ``make_figures.py``/``compare_*``
+    scripts (local_astrocyte_depolarization/remark_mesh.py:15-59).
+
+    coords: (n, dim) candidate coordinates (membrane dofs, subdomain dofs,
+    ...); returns (len(offsets), dim) coordinates, median first.
+    """
+    lo = np.asarray(roi_lo)
+    hi = np.asarray(roi_hi)
+    inside = np.flatnonzero(
+        np.all((coords >= lo) & (coords <= hi), axis=1)
+    )
+    if len(inside) == 0:
+        raise ValueError("no points inside the ROI box")
+    middle = int(round((len(inside) - 1) / 2))
+    picks = [
+        inside[min(max(middle + o, 0), len(inside) - 1)] for o in offsets
+    ]
+    return coords[picks]
