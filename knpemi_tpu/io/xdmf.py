@@ -148,7 +148,8 @@ def read_mesh(path: str, cell_tag_name="cell_marker",
     # identify mesh (highest-dim entity set) and tags
     def tdim(tt):
         return {"triangle": 2, "tetrahedron": 3, "polyline": 1,
-                "polyvertex": 0}.get(tt, -1)
+                "polyvertex": 0, "hexahedron": 3, "quadrilateral": 2,
+                }.get(tt, -1)
 
     items = sorted(cell_entities.items(), key=lambda kv: -tdim(kv[1][0]))
     _, (tt0, cells, cvals0) = items[0][0], items[0][1]
@@ -171,6 +172,21 @@ def read_mesh(path: str, cell_tag_name="cell_marker",
                 cell_tags[order] = vals
         elif tdim(tt) == cdim - 1:
             facet_ents, facet_vals = np.sort(ents, 1), vals
+
+    if tt0 == "hexahedron":
+        # reference idealized 3-D meshes are dolfinx box hexes
+        # (make_mesh_3D.py:99-102): split to face-consistent Kuhn tets
+        # so the P1-tet pipeline ingests them unmodified
+        from ..mesh.core import split_hex_cells, quad_facet_tags_to_tris
+
+        tet_cells, parent = split_hex_cells(cells)
+        mesh = Mesh(points=points, cells=tet_cells.astype(np.int32),
+                    cell_tags=cell_tags[parent])
+        if facet_ents is not None:
+            mesh.facet_tags = quad_facet_tags_to_tris(
+                mesh, facet_ents, facet_vals
+            )
+        return mesh
 
     mesh = Mesh(points=points, cells=cells.astype(np.int32),
                 cell_tags=cell_tags)

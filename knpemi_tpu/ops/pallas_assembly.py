@@ -189,12 +189,18 @@ def make_windows(xs, bk: BlockedCells):
 
 
 def combine_windows(yw, bk: BlockedCells):
-    """(NB, W, m) partial outputs -> (n, m) via shifted adds."""
+    """(NB, m, W) partial outputs -> (m, n) via shifted adds.
+
+    The kernels emit window rows in (vars, W) orientation — the same
+    operand-major layout as the gather dot, which is the one Mosaic
+    lowers cleanly for bf16 x bf16 -> f32 products."""
     S, ns = bk.S, bk.n_spill
-    acc = yw[:, :S]
+    acc = yw[..., :S]
     for j in range(1, ns + 1):
-        acc = acc + jnp.roll(yw[:, j * S : (j + 1) * S], j, axis=0)
-    return acc.reshape((bk.n_blocks * S,) + yw.shape[2:])[: bk.n_dofs]
+        acc = acc + jnp.roll(yw[..., j * S : (j + 1) * S], j, axis=0)
+    m = yw.shape[1]
+    out = jnp.moveaxis(acc, 1, 0).reshape(m, bk.n_blocks * S)
+    return out[:, : bk.n_dofs]
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +211,49 @@ def _dot(a, b, dims):
         a, b, (dims, ((), ())), precision=HIGHEST,
         preferred_element_type=a.dtype,
     )
+
+
+def _split3_bf16(v):
+    """f32 -> (hi, mid, lo) bf16 triple with hi+mid+lo == v to f32
+    accuracy (3 x 8 mantissa bits covers the f32 significand)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(v.dtype)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(v.dtype)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_e_exact(v, E, dims, out_dtype):
+    """f32-exact contraction of an f32 operand with a 0/1 one-hot E
+    stored in bf16: three native-rate bf16 MXU passes over the 3-term
+    split of v.  Same pass count as Precision.HIGHEST on f32 inputs,
+    but E's VMEM footprint (the dominant cost of the materialized
+    one-hot) is halved, and E needs no on-the-fly decomposition.
+
+    precision must be DEFAULT explicitly: the package sets
+    jax_default_matmul_precision=highest globally on TPU, and Mosaic
+    rejects bf16 operands with an fp32 contract precision ("Bad lhs
+    type"); bf16 x bf16 at DEFAULT is the native full-rate MXU pass."""
+    d = lambda a: jax.lax.dot_general(
+        a, E, (dims, ((), ())), preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    hi, mid, lo = _split3_bf16(v)
+    return d(hi) + d(mid) + d(lo)
+
+
+def _dot_e_scatter(v, E, out_dtype):
+    """f32-exact scatter product: v (m, KC) lane values -> (m, W) window
+    rows, computed as dot_general(v, E) contracting the KC axes — the
+    SAME operand-major orientation as the gather (Mosaic verifies this
+    one for bf16 x bf16 -> f32; the (W, KC) x (KC, m) transpose form
+    trips a vector.broadcast element-type bug)."""
+    d = lambda a: jax.lax.dot_general(
+        a, E, (((1,), (1,)), ((), ())), preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    hi, mid, lo = _split3_bf16(v)
+    return d(hi) + d(mid) + d(lo)
 
 
 def _lane_sum(row, k, C):
@@ -240,15 +289,17 @@ def _make_emi_kernel(k: int):
         C = KC // k
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
-        E = (iota == li).astype(xr.dtype)  # (W, KC)
-        xe = _dot(xr, E, ((1,), (0,)))  # (1, KC)
+        # E in bf16: exact (0/1), halves the dominant VMEM traffic of the
+        # materialized one-hot and enables native-rate bf16 MXU passes
+        E = (iota == li).astype(jnp.bfloat16)  # (W, KC)
+        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (1, KC)
         ye = jnp.zeros_like(xe)
         for d in range(dim):
             gd = gr[d : d + 1, :]
             gx = _lane_sum(gd * xe, k, C)  # (1, C)
             ye = ye + _lane_tile(gx, k) * gd
         ye = ye * wv
-        out_ref[0] += _dot(E, ye, ((1,), (1,)))  # (W, 1)
+        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (1, W)
 
     return _emi_kernel
 
@@ -280,8 +331,8 @@ def _make_knp_kernel(k: int):
         C = KC // k
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
-        E = (iota == li).astype(xr.dtype)
-        xe = _dot(xr, E, ((1,), (0,)))  # (1, KC)
+        E = (iota == li).astype(jnp.bfloat16)
+        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (1, KC)
         xsum = _lane_tile(_lane_sum(xe, k, C), k)  # (1, KC)
 
         m_row = (vols / (k * (k + 1))) * (xsum + xe)
@@ -297,9 +348,122 @@ def _make_knp_kernel(k: int):
             + (D * vols) * s_row
             + (zpsiD * vols) * ((xsum / k) * wg)
         )
-        out_ref[0] += _dot(E, ye, ((1,), (1,)))  # (W, 1)
+        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (1, W)
 
     return _knp_kernel
+
+
+def _make_knp_kernel_batch(k: int):
+    def _knp_kernel_b(x_ref, lidx_ref, grads_ref, vols_ref, wc_ref,
+                      coef_ref, out_ref):
+        """Batched KNP operator action: all B ion systems of one
+        subdomain in a single pass.  xr is (B, W); the per-ion scalars
+        [1/dt, D, z*psi*D] arrive as a VMEM (B, 128) row table (cols
+        0..2 used) so row slices broadcast against (B, KC) lanes.  The
+        one-hot E is built once and shared by every ion — the E
+        materialization is the kernel's dominant cost, so batching B
+        ions costs ~1x E instead of Bx."""
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xr = x_ref[0]  # (B, W)
+        li = lidx_ref[0, 0]  # (1, KC)
+        gr = grads_ref[0, 0]  # (dim, KC)
+        vols = vols_ref[0, 0]  # (1, KC)
+        wc = wc_ref[0, 0]  # (dim, KC)
+        dt_inv = coef_ref[:, 0:1]  # (B, 1)
+        D = coef_ref[:, 1:2]
+        zpsiD = coef_ref[:, 2:3]
+        W = xr.shape[1]
+        KC = li.shape[1]
+        dim = gr.shape[0]
+        C = KC // k
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
+        E = (iota == li).astype(jnp.bfloat16)
+        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (B, KC)
+        xsum = _lane_tile(_lane_sum(xe, k, C), k)  # (B, KC)
+
+        m_row = (vols / (k * (k + 1))) * (xsum + xe)
+        s_row = jnp.zeros_like(xe)
+        wg = jnp.zeros_like(gr[0:1])
+        for d in range(dim):
+            gd = gr[d : d + 1, :]
+            gx = _lane_tile(_lane_sum(gd * xe, k, C), k)  # (B, KC)
+            s_row = s_row + gx * gd
+            wg = wg + wc[d : d + 1, :] * gd
+        ye = (
+            dt_inv * m_row
+            + (D * vols) * s_row
+            + (zpsiD * vols) * ((xsum / k) * wg)
+        )
+        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (B, W)
+
+    return _knp_kernel_b
+
+
+def knp_apply_blocked_batch(X, bk: BlockedCells, grads_lane, vols_lane,
+                            drift, dt_inv, D_vec, z_vec, psi,
+                            interpret=False):
+    """Batched KNP operator action for all solved ions of one subdomain:
+    X is (B, n); D_vec/z_vec are per-ion (B,) coefficient vectors (may be
+    traced).  One kernel pass serves every ion (shared one-hot E)."""
+    wc_lane, rest_w = drift
+    B = X.shape[0]
+    coef = jnp.zeros((B, 128), X.dtype)
+    coef = coef.at[:, 0].set(jnp.asarray(dt_inv, X.dtype))
+    coef = coef.at[:, 1].set(jnp.asarray(D_vec, X.dtype))
+    coef = coef.at[:, 2].set(jnp.asarray(z_vec * psi * D_vec, X.dtype))
+    xw = make_windows(list(X), bk)  # (NB, B, W)
+
+    NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
+    NCH = bk.n_chunks
+    out = pl.pallas_call(
+        _make_knp_kernel_batch(bk.k),
+        grid=(NB, NCH),
+        in_specs=[
+            pl.BlockSpec((1, B, W), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk.dim, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk.dim, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, W), lambda b, c: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, B, W), X.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xw, jnp.asarray(bk.lidx_lane), grads_lane, vols_lane, wc_lane, coef)
+    Y = combine_windows(out, bk)  # (B, n)
+    if len(bk.rest_cells):
+        from . import kernels as K
+
+        rc = jnp.asarray(bk.rest_cells)
+        rg = jnp.asarray(bk.rest_grads, X.dtype)
+        rv = jnp.asarray(bk.rest_vols, X.dtype)
+
+        def one(x, D, zpD):
+            return (
+                dt_inv * K.mass_apply(bk.n_dofs, x, rc, rv)
+                + D * K.stiffness_apply(bk.n_dofs, x, rc, rg, rv)
+                + zpD * K.drift_apply(bk.n_dofs, x, rc, rg, rv, rest_w)
+            )
+
+        Y = Y + jax.vmap(one)(X, jnp.asarray(D_vec, X.dtype),
+                              jnp.asarray(z_vec * psi * D_vec, X.dtype))
+    return Y
 
 
 def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret,
@@ -335,9 +499,9 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret,
         kernel,
         grid=(NB, NCH),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, W, out_cols), lambda b, c: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, out_cols, W), lambda b, c: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, W, out_cols), xw.dtype),
+        out_shape=jax.ShapeDtypeStruct((NB, out_cols, W), xw.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -355,7 +519,7 @@ def emi_stiffness_blocked(x, prep, bk: BlockedCells, grads_lane,
     xw = make_windows([x], bk)
     yw = _grid_call(_make_emi_kernel(bk.k), bk, xw,
                     (grads_lane, wvols_lane), 1, interpret)
-    y = combine_windows(yw, bk)[:, 0]
+    y = combine_windows(yw, bk)[0]
     if len(bk.rest_cells):
         from . import kernels as K
 
@@ -382,7 +546,7 @@ def knp_apply_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
     yw = _grid_call(_make_knp_kernel(bk.k), bk, xw,
                     (grads_lane, vols_lane, wc_lane), 1, interpret,
                     scalars=coef)
-    y = combine_windows(yw, bk)[:, 0]
+    y = combine_windows(yw, bk)[0]
     if len(bk.rest_cells):
         from . import kernels as K
 

@@ -165,7 +165,8 @@ class Simulation:
         kappa = {t: np.asarray(v) for t, v in self.emi_sys.kappa(c).items()}
         A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
         d = A0.diagonal()
-        s = 1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1.0)))
+        self._emi_diag0 = np.where(d != 0, d, 1.0)
+        s = 1.0 / np.sqrt(np.abs(self._emi_diag0))
         S = sp.diags(s)
         return (S @ A0 @ S).tocsr(), s
 
@@ -188,6 +189,9 @@ class Simulation:
         self.emi_solver.mg = hier.device(
             self.dtype, band_dtype=self._band_dtype,
             band_pallas=self._use_pallas,
+        )
+        self.emi_solver.mg.fine_diag = jnp.asarray(
+            self._emi_diag0, self.dtype
         )
 
     def refresh_mg(self, state: SimState):
@@ -219,6 +223,9 @@ class Simulation:
             self.dtype, band_dtype=self._band_dtype,
             band_pallas=self._use_pallas,
         )
+        self.emi_solver.mg.fine_diag = jnp.asarray(
+            self._emi_diag0, self.dtype
+        )
 
     def _setup_knp_mg(self):
         """Lagged SA-AMG per subdomain for the KNP blocks: built once from
@@ -241,7 +248,8 @@ class Simulation:
                                         coef_cell=Dbar)
             A0 = _coo_accumulate([r1, r2], [c1, c2], [v1, v2], n)
             d = A0.diagonal()
-            s_ = 1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1.0)))
+            d = np.where(d != 0, d, 1.0)
+            s_ = 1.0 / np.sqrt(np.abs(d))
             A_hat = (sp.diags(s_) @ A0 @ sp.diags(s_)).tocsr()
             hier = build_hierarchy(
                 A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
@@ -252,6 +260,10 @@ class Simulation:
                 self.dtype, band_dtype=self._band_dtype,
                 band_pallas=self._use_pallas,
             )
+            # lagged equilibration scale: the drift contribution to the
+            # diagonal is negligible next to the 1/dt mass term, so the
+            # setup operator's diagonal serves every ion/step
+            mg[t].fine_diag = jnp.asarray(d, self.dtype)
         self.knp_solver.mg = mg
 
     def init_state(self) -> SimState:

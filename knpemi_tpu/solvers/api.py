@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from typing import NamedTuple
 
 from .cg import cg
-from .gmres import gmres
+from .gmres import gmres, gmres_batched
 from . import direct as direct_mod
 
 
@@ -88,7 +88,14 @@ class EMISolver:
         kappa = sys_.kappa(c)
         ctx = sys_.prepare(kappa)  # once per solve (kappa gathers etc.)
         b = sys_.rhs(c, phi_M, I_ch)
-        d = sys_.diag(kappa)
+        # equilibration scale: the hierarchy's lagged fine diagonal when
+        # available (any positive scale gives the exact null direction
+        # S^-1 1; skipping the per-solve diag assembly saves ~10 ms/step
+        # at 3-D res 1), else assembled fresh
+        if self.mg is not None and getattr(self.mg, "fine_diag", None) is not None:
+            d = self.mg.fine_diag
+        else:
+            d = sys_.diag(kappa)
         x0_flat = None if x0 is None else sys_.flatten(x0)
         A_hat, b_hat, x0_hat, s = _equilibrate(
             lambda v: sys_.matvec(v, ctx), b, d, x0_flat
@@ -207,9 +214,15 @@ class KNPSolver:
         resnorm = None
         converged = jnp.asarray(True)
         for t in sys_.tags:
-            diag = sys_.diag(t, gradphi[t])  # (Ns, n)
-
             mg_t = self.mg.get(t)
+            if mg_t is not None and getattr(mg_t, "fine_diag", None) is not None:
+                # lagged scale (mass + mean-D stiffness diagonal): the
+                # drift part is negligible next to the 1/dt mass term
+                diag = jnp.broadcast_to(
+                    mg_t.fine_diag, (sys_.n_solved,) + mg_t.fine_diag.shape
+                )
+            else:
+                diag = sys_.diag(t, gradphi[t])  # (Ns, n)
 
             def solve_one(b_row, d_row, x0_row, D_k, z_k, t=t,
                           gp=gradphi[t], mg_t=mg_t):
@@ -238,22 +251,36 @@ class KNPSolver:
                 else x0[t][: sys_.n_solved]
             )
             if getattr(sys_, "use_pallas", False):
-                # vmapping the Pallas kernel keeps every ion's blocks
-                # resident in VMEM at once; scan sequentially instead
-                # (one traced GMRES+kernel instance, one ion resident)
-                def scan_body(carry, inp, t=t):
-                    b_row, d_row, x0_row, D_k, z_k = inp
-                    res_k = solve_one(b_row, d_row, x0_row, D_k, z_k)
-                    return carry, (res_k.x, res_k.iters, res_k.resnorm,
-                                   res_k.converged)
-
-                _, (xs, its, rns, oks) = jax.lax.scan(
-                    scan_body, None,
-                    (rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved),
+                # batched GMRES: all ions of the subdomain through ONE
+                # operator application per iteration — the Pallas
+                # kernel's dominant cost (the materialized one-hot E)
+                # is shared across the ion rows
+                # (knp_apply_blocked_batch), so B systems cost ~1x
+                s_eq = 1.0 / jnp.sqrt(jnp.abs(diag))  # (Ns, n)
+                A_hat = lambda V, t=t, s_eq=s_eq: s_eq * sys_.matvec_batch(
+                    t, s_eq * V, gradphi[t]
                 )
-                out[t] = xs
-                iters = jnp.maximum(iters, its.max())
-                rn_t, ok_t = rns.max(), oks.all()
+                M = None
+                if mg_t is not None:
+                    _noA = lambda v: v  # level-0 uses the lagged ELL/band
+
+                    def M(V, mg_t=mg_t):
+                        return jax.vmap(lambda r: mg_t.apply(_noA, r))(V)
+
+                res = gmres_batched(
+                    A_hat,
+                    s_eq * rhs[t],
+                    x0=x0_t / s_eq,
+                    M=M,
+                    rtol=self.rtol,
+                    atol=self.atol,
+                    maxiter=self.maxiter,
+                    restart=self.restart,
+                    min_iter=self.min_iter,
+                )
+                out[t] = s_eq * res.x
+                iters = jnp.maximum(iters, res.iters)
+                rn_t, ok_t = res.resnorm.max(), res.converged
             else:
                 res = jax.vmap(solve_one)(
                     rhs[t], diag, x0_t, sys_.D[t], sys_.z_solved

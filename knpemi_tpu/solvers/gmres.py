@@ -146,3 +146,142 @@ def gmres(
         outer_cond, outer_body, (x0, jnp.int32(0), r0norm, big)
     )
     return KrylovResult(x=x, iters=it, resnorm=res, converged=res <= tol)
+
+
+def gmres_batched(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable] = None,
+    rtol: float = 1e-7,
+    atol: float = 1e-40,
+    maxiter: int = 1000,
+    restart: int = 30,
+    min_iter: int = 0,
+) -> KrylovResult:
+    """Restarted GMRES over a BATCH of systems sharing one operator call:
+    ``A`` maps (B, n) -> (B, n) and is invoked once per inner iteration
+    for all batch rows together.
+
+    This is the TPU-shaped version of the KNP block solve: the ion
+    systems of one subdomain differ only in scalar coefficients, and the
+    assembly kernel's dominant cost (the materialized one-hot E) is
+    shared across rows (ops/pallas_assembly.py::knp_apply_blocked_batch),
+    so B systems cost barely more than one.  All rows run the same
+    iteration count (until every row converges) — the extra iterations
+    of already-converged rows ride along for free, and the aggregate
+    ``iters`` matches the reference's single MatNest GMRES count
+    semantics (max over the block system).
+
+    Returns KrylovResult with x (B, n), scalar iters, per-row resnorm
+    (B,), scalar converged (all rows).
+    """
+    if M is None:
+        M = _identity
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    B, n = b.shape
+    m = restart
+
+    def bdot(u, v):
+        return jnp.einsum("bn,bn->b", u, v)
+
+    eps = jnp.finfo(b.dtype).eps
+    rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 4 * eps)
+
+    r0 = b - A(x0)
+    bnorm = jnp.sqrt(bdot(b, b))
+    r0norm = jnp.sqrt(bdot(r0, r0))
+    tol = jnp.maximum(rtol * bnorm, atol)  # (B,)
+
+    def cycle(x, total_it):
+        r = b - A(x)
+        beta = jnp.sqrt(bdot(r, r))  # (B,)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1, B, n), b.dtype).at[0].set(r / safe_beta[:, None])
+        H = jnp.zeros((B, m + 1, m), b.dtype)
+        cs = jnp.zeros((B, m), b.dtype)
+        sn = jnp.zeros((B, m), b.dtype)
+        g = jnp.zeros((B, m + 1), b.dtype).at[:, 0].set(beta)
+
+        def inner_cond(st):
+            V, H, cs, sn, g, j, res = st
+            keep = (res > tol).any() | (total_it + j < min_iter)
+            return (j < m) & keep
+
+        def inner_body(st):
+            V, H, cs, sn, g, j, res = st
+            w = A(M(V[j]))  # (B, n)
+
+            def mgs(i, carry):
+                w, h = carry
+                mask = i <= j
+                hi = jnp.where(mask, bdot(V[i], w), 0.0)  # (B,)
+                w = w - hi[:, None] * V[i]
+                return (w, h.at[:, i].set(hi))
+
+            w, hcol = jax.lax.fori_loop(
+                0, m, mgs, (w, jnp.zeros((B, m + 1), b.dtype))
+            )
+            hj1 = jnp.sqrt(bdot(w, w))  # (B,)
+            hcol = hcol.at[:, j + 1].set(hj1)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0)[:, None])
+
+            def rot(i, h):
+                mask = i < j
+                t = cs[:, i] * h[:, i] + sn[:, i] * h[:, i + 1]
+                u = -sn[:, i] * h[:, i] + cs[:, i] * h[:, i + 1]
+                h = h.at[:, i].set(jnp.where(mask, t, h[:, i]))
+                return h.at[:, i + 1].set(jnp.where(mask, u, h[:, i + 1]))
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            denom = jnp.sqrt(hcol[:, j] ** 2 + hcol[:, j + 1] ** 2)
+            denom_s = jnp.where(denom > 0, denom, 1.0)
+            c_new = jnp.where(denom > 0, hcol[:, j] / denom_s, 1.0)
+            s_new = jnp.where(denom > 0, hcol[:, j + 1] / denom_s, 0.0)
+            hcol = hcol.at[:, j].set(
+                c_new * hcol[:, j] + s_new * hcol[:, j + 1]
+            ).at[:, j + 1].set(0.0)
+            cs = cs.at[:, j].set(c_new)
+            sn = sn.at[:, j].set(s_new)
+            g_j = g[:, j]
+            g = g.at[:, j].set(c_new * g_j).at[:, j + 1].set(-s_new * g_j)
+            H = H.at[:, :, j].set(hcol)
+            res = jnp.abs(g[:, j + 1])  # (B,)
+            return (V, H, cs, sn, g, j + 1, res)
+
+        V, H, cs, sn, g, j, res = jax.lax.while_loop(
+            inner_cond, inner_body, (V, H, cs, sn, g, 0, beta)
+        )
+
+        mask = jnp.arange(m) < j
+        Hm = H[:, :m, :m]
+        Hm = jnp.where(
+            (mask[None, None, :] & mask[None, :, None]),
+            Hm,
+            jnp.eye(m, dtype=b.dtype)[None],
+        )
+        gm = jnp.where(mask[None, :], g[:, :m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm[..., None], lower=False)
+        y = jnp.where(mask[None, :], y[..., 0], 0.0)  # (B, m)
+        dx = M(jnp.einsum("jbn,bj->bn", V[:m], y))
+        return x + dx, total_it + j, res
+
+    def outer_cond(st):
+        x, it, res, best = st
+        return (res > tol).any() & (it < maxiter) & (res < 0.999 * best).any()
+
+    def outer_body(st):
+        x, it, res, best = st
+        best = jnp.minimum(best, res)
+        x, it, res = cycle(x, it)
+        return (x, it, res, best)
+
+    big = jnp.full((B,), jnp.inf, b.dtype)
+    x, it, res, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, jnp.int32(0), r0norm, big)
+    )
+    return KrylovResult(
+        x=x, iters=it, resnorm=res, converged=(res <= tol).all()
+    )

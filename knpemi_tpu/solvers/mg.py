@@ -522,15 +522,21 @@ class DeviceMG:
     compile setups with bounded request sizes, and the basis for
     refreshing the lagged hierarchy without recompiling the step."""
 
-    def __init__(self, levels, coarse_V, coarse_ilam, nu):
+    def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None):
         self.levels = levels
         self.coarse_V = coarse_V
         self.coarse_ilam = coarse_ilam
         self.nu = nu
+        # raw (unequilibrated) diagonal of the fine operator this
+        # hierarchy was built from.  Solvers use it as a LAGGED
+        # equilibration scale, skipping the per-solve diag assembly:
+        # the scale only normalizes (any positive s gives the exact
+        # null direction S^-1 1), and it refreshes with the hierarchy.
+        self.fine_diag = fine_diag
 
     def tree_flatten(self):
         flat, treedef = jax.tree_util.tree_flatten(
-            (self.levels, self.coarse_V, self.coarse_ilam)
+            (self.levels, self.coarse_V, self.coarse_ilam, self.fine_diag)
         )
         dyn = [x if isinstance(x, jax.Array) else None for x in flat]
         static = tuple(None if isinstance(x, jax.Array) else x for x in flat)
@@ -540,8 +546,10 @@ class DeviceMG:
     def tree_unflatten(cls, aux, dyn):
         treedef, static, nu = aux
         flat = [d if s is None else s for d, s in zip(dyn, static)]
-        levels, V, ilam = jax.tree_util.tree_unflatten(treedef, flat)
-        return cls(levels, V, ilam, nu)
+        levels, V, ilam, fine_diag = jax.tree_util.tree_unflatten(
+            treedef, flat
+        )
+        return cls(levels, V, ilam, nu, fine_diag)
 
     def _op(self, i: int, A0: Callable):
         lv = self.levels[i]

@@ -253,6 +253,26 @@ class KNPSystem:
 
         return one
 
+    def matvec_batch(self, tag: int, X: jnp.ndarray, gradphi):
+        """All solved ion systems of one subdomain in a single operator
+        application: X (N_solved, n) -> (N_solved, n).  On the Pallas
+        path this shares the materialized one-hot E across ions
+        (ops/pallas_assembly.py::knp_apply_blocked_batch) — the batched
+        call costs barely more than one ion's."""
+        if self.use_pallas and self.mms is None:
+            from ..ops import pallas_assembly as PA
+
+            blk = self.blocked[tag]
+            return self.reduce(
+                PA.knp_apply_blocked_batch(
+                    X, blk["bk"], blk["grads"], blk["vols"],
+                    gradphi["blocked"], 1.0 / self.params.dt,
+                    self.D[tag], self.z_solved, self.params.psi,
+                    interpret=self.pallas_interpret,
+                )
+            )
+        return self.matvec(tag, X, gradphi)
+
     def matvec(self, tag: int, X: jnp.ndarray, gradphi):
         """Batched LHS action for one subdomain: X (N_solved, n) -> (N_solved, n).
 

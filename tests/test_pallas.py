@@ -115,3 +115,60 @@ def test_banded_matvec_interpret_matches_scipy():
         y_pl.at[dev["far_rows"]].add(dev["far_vals"] * x[dev["far_cols"]])
     )
     assert np.abs(y_pl - y_ref).max() / scale < 1e-5
+
+
+def test_knp_batched_kernel_matches_per_ion():
+    """knp_apply_blocked_batch (all ions, shared one-hot E) must equal
+    per-ion knp_apply_blocked."""
+    from knpemi_tpu.ops.pallas_assembly import knp_apply_blocked_batch
+
+    geom = build_geometry(idealized_3d_mesh(0, l=1))
+    sub = geom.subdomains[0]
+    bk = build_blocking(sub.cells, sub.grads, sub.vols, sub.n_dofs, S=256)
+    rng = np.random.default_rng(7)
+    B = 2
+    X = jnp.asarray(rng.standard_normal((B, sub.n_dofs)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal(sub.n_dofs), jnp.float32)
+    g32 = jnp.asarray(bk.grads_lane, jnp.float32)
+    v32 = jnp.asarray(bk.vols_lane, jnp.float32)
+    drift = prepare_knp_drift(phi, bk, g32)
+    dt_inv, psi = 10.0, 38.7
+    D_vec = jnp.asarray([1.3, 2.0], jnp.float32)
+    z_vec = jnp.asarray([1.0, -1.0], jnp.float32)
+
+    Y = knp_apply_blocked_batch(
+        X, bk, g32, v32, drift, dt_inv, D_vec, z_vec, psi, interpret=True
+    )
+    for b in range(B):
+        y_ref = knp_apply_blocked(
+            X[b], bk, g32, v32, drift, dt_inv, float(D_vec[b]),
+            float(z_vec[b]) * psi * float(D_vec[b]), interpret=True,
+        )
+        scale = float(jnp.abs(y_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(Y[b]), np.asarray(y_ref), atol=5e-6 * scale
+        )
+
+
+def test_gmres_batched_matches_single():
+    from knpemi_tpu.solvers.gmres import gmres, gmres_batched
+
+    rng = np.random.default_rng(11)
+    n, B = 80, 2
+    Q = rng.standard_normal((n, n))
+    A_np = Q @ Q.T + n * np.eye(n) + 0.3 * rng.standard_normal((n, n))
+    b_np = rng.standard_normal((B, n))
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(b_np)
+
+    res_b = gmres_batched(lambda X: X @ A.T, b, rtol=1e-10, restart=30)
+    assert bool(res_b.converged)
+    for k in range(B):
+        res_1 = gmres(lambda x: A @ x, b[k], rtol=1e-10, restart=30)
+        np.testing.assert_allclose(
+            np.asarray(res_b.x[k]), np.asarray(res_1.x), rtol=1e-6,
+            atol=1e-8,
+        )
+        x_dir = np.linalg.solve(A_np, b_np[k])
+        np.testing.assert_allclose(np.asarray(res_b.x[k]), x_dir,
+                                   rtol=1e-6, atol=1e-8)

@@ -104,9 +104,31 @@ def main():
     lv0 = mg0.levels[0]
     from knpemi_tpu.solvers.mg import _banded_mv, _ell_mv
 
+    def band_split(band):
+        """(array pytree, rebuild fn): statics stay closure constants so
+        the slabs travel as jit arguments, not HLO constants."""
+        arrs = (
+            [(w["slabT"], w["w0"], w["w0_rows"]) for w in band["windows"]],
+            band["far_rows"], band["far_cols"], band["far_vals"],
+        )
+
+        def rebuild(a):
+            wins, fr, fc, fv = a
+            return {
+                **band,
+                "windows": [
+                    dict(wd, slabT=s, w0=w0, w0_rows=wr)
+                    for wd, (s, w0, wr) in zip(band["windows"], wins)
+                ],
+                "far_rows": fr, "far_cols": fc, "far_vals": fv,
+            }
+
+        return arrs, rebuild
+
     if lv0.get("a_band") is not None:
+        arrs, rebuild = band_split(lv0["a_band"])
         print(f"  lagged banded    : "
-              f"{loop_timeit(lambda v, band: _banded_mv(band, v), x, lv0['a_band']):7.3f} ms")
+              f"{loop_timeit(lambda v, a: _banded_mv(rebuild(a), v), x, arrs):7.3f} ms")
         for w in lv0["a_band"]["windows"]:
             NBw = w["slabT"].shape[0] // w["W"]
             print(f"    window W={w['W']} NB={NBw} "
@@ -133,8 +155,9 @@ def main():
         if mg_t is not None:
             lvk = mg_t.levels[0]
             if lvk.get("a_band") is not None:
+                arrs_k, rebuild_k = band_split(lvk["a_band"])
                 print(f"  lagged banded    : "
-                      f"{loop_timeit(lambda w, band: _banded_mv(band, w), v, lvk['a_band']):7.3f} ms")
+                      f"{loop_timeit(lambda w, a, rb=rebuild_k: _banded_mv(rb(a), w), v, arrs_k):7.3f} ms")
 
 
 if __name__ == "__main__":
