@@ -188,6 +188,21 @@ def make_windows(xs, bk: BlockedCells):
     return jnp.stack(rows, axis=1)  # (NB, nvars, W)
 
 
+def make_windows_colmajor(xs, bk: BlockedCells):
+    """Windows in column layout (NB, nvars, 128, W/128): entry (j, w)
+    holds x_window[w*128 + j] — the operand shape of the factored-index
+    kernels (gather step 1 contracts the W/128 axis)."""
+    xw = make_windows(xs, bk)  # (NB, nvars, W)
+    NB, nv, W = xw.shape
+    return xw.reshape(NB, nv, W // 128, 128).transpose(0, 1, 3, 2)
+
+
+def windows_from_colmajor(yw_col, bk: BlockedCells):
+    """(NB, m, 128, W/128) kernel outputs -> (NB, m, W) lane-major."""
+    NB, m, _, Wr = yw_col.shape
+    return yw_col.transpose(0, 1, 3, 2).reshape(NB, m, Wr * 128)
+
+
 def combine_windows(yw, bk: BlockedCells):
     """(NB, m, W) partial outputs -> (m, n) via shifted adds.
 
@@ -223,37 +238,61 @@ def _split3_bf16(v):
     return hi, mid, lo
 
 
-def _dot_e_exact(v, E, dims, out_dtype):
-    """f32-exact contraction of an f32 operand with a 0/1 one-hot E
-    stored in bf16: three native-rate bf16 MXU passes over the 3-term
-    split of v.  Same pass count as Precision.HIGHEST on f32 inputs,
-    but E's VMEM footprint (the dominant cost of the materialized
-    one-hot) is halved, and E needs no on-the-fly decomposition.
+def _dot3(a, b, dims, out_dtype):
+    """f32-exact product of an f32 operand `a` with an EXACT-in-bf16
+    operand `b` (one-hot): three native-rate bf16 MXU passes over the
+    3-term split of `a` (3 x 8 mantissa bits cover the f32 significand).
 
     precision must be DEFAULT explicitly: the package sets
     jax_default_matmul_precision=highest globally on TPU, and Mosaic
     rejects bf16 operands with an fp32 contract precision ("Bad lhs
     type"); bf16 x bf16 at DEFAULT is the native full-rate MXU pass."""
-    d = lambda a: jax.lax.dot_general(
-        a, E, (dims, ((), ())), preferred_element_type=out_dtype,
+    d = lambda p: jax.lax.dot_general(
+        p, b, (dims, ((), ())), preferred_element_type=out_dtype,
         precision=jax.lax.Precision.DEFAULT,
     )
-    hi, mid, lo = _split3_bf16(v)
+    hi, mid, lo = _split3_bf16(a)
     return d(hi) + d(mid) + d(lo)
 
 
-def _dot_e_scatter(v, E, out_dtype):
-    """f32-exact scatter product: v (m, KC) lane values -> (m, W) window
-    rows, computed as dot_general(v, E) contracting the KC axes — the
-    SAME operand-major orientation as the gather (Mosaic verifies this
-    one for bf16 x bf16 -> f32; the (W, KC) x (KC, m) transpose form
-    trips a vector.broadcast element-type bug)."""
-    d = lambda a: jax.lax.dot_general(
-        a, E, (((1,), (1,)), ((), ())), preferred_element_type=out_dtype,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    hi, mid, lo = _split3_bf16(v)
-    return d(hi) + d(mid) + d(lo)
+def _onehot_factored(li, Wr):
+    """Factored one-hot pair for window-local ids li (1, KC): the id
+    splits as hi*128 + lo, and gather/scatter become MXU products over
+    the SHORT W/128 axis plus a VPU sublane select — ~16x fewer MXU
+    tile-issues than the flat (W, KC) one-hot (which is tile-issue
+    bound, not bandwidth bound: bf16 storage did not move it)."""
+    KC = li.shape[1]
+    hi = li // 128
+    lo = li % 128
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (Wr, KC), 0)
+    E_hi = (iota_w == hi).astype(jnp.bfloat16)  # (Wr, KC)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (128, KC), 0)
+    E_lo = iota_s == lo  # (128, KC) bool
+    return E_hi, E_lo
+
+
+def _gather_factored(x2t, E_hi, E_lo, out_dtype):
+    """x2t (128, Wr) column-layout window -> xe (1, KC) exact gather."""
+    R = _dot3(x2t, E_hi, ((1,), (0,)), out_dtype)  # (128, KC)
+    return jnp.sum(jnp.where(E_lo, R, 0.0), axis=0, keepdims=True)
+
+
+def _scatter_factored(ye, E_hi, E_lo, out_dtype):
+    """ye (1, KC) lane values -> (128, Wr) column-layout window rows.
+
+    V = E_lo * ye_part is exact in bf16 (0 or the bf16 split term), so
+    three bf16 passes contract KC against E_hi exactly."""
+    lo_b = E_lo.astype(jnp.bfloat16)
+    acc = None
+    for part in _split3_bf16(ye):
+        V = lo_b * part  # (128, KC) bf16
+        y = jax.lax.dot_general(
+            V, E_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=out_dtype,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = y if acc is None else acc + y
+    return acc
 
 
 def _lane_sum(row, k, C):
@@ -272,34 +311,32 @@ def _lane_tile(row_c, k):
 def _make_emi_kernel(k: int):
     def _emi_kernel(x_ref, lidx_ref, grads_ref, wv_ref, out_ref):
         """Weighted-stiffness action; wv = vols * mean(kappa) per cell,
-        lane-tiled (prepared once per solve)."""
+        lane-tiled (prepared once per solve).  x arrives column-layout
+        (128, W/128); indices factor through :func:`_onehot_factored`."""
         c = pl.program_id(1)
 
         @pl.when(c == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        xr = x_ref[0]  # (1, W)
+        x2t = x_ref[0, 0]  # (128, Wr)
         li = lidx_ref[0, 0]  # (1, KC)
         gr = grads_ref[0, 0]  # (dim, KC)
         wv = wv_ref[0, 0]  # (1, KC)
-        W = xr.shape[1]
+        Wr = x2t.shape[1]
         KC = li.shape[1]
         dim = gr.shape[0]
         C = KC // k
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
-        # E in bf16: exact (0/1), halves the dominant VMEM traffic of the
-        # materialized one-hot and enables native-rate bf16 MXU passes
-        E = (iota == li).astype(jnp.bfloat16)  # (W, KC)
-        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (1, KC)
+        E_hi, E_lo = _onehot_factored(li, Wr)
+        xe = _gather_factored(x2t, E_hi, E_lo, x2t.dtype)  # (1, KC)
         ye = jnp.zeros_like(xe)
         for d in range(dim):
             gd = gr[d : d + 1, :]
             gx = _lane_sum(gd * xe, k, C)  # (1, C)
             ye = ye + _lane_tile(gx, k) * gd
         ye = ye * wv
-        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (1, W)
+        out_ref[0, 0] += _scatter_factored(ye, E_hi, E_lo, x2t.dtype)
 
     return _emi_kernel
 
@@ -309,8 +346,7 @@ def _make_knp_kernel(k: int):
                     out_ref):
         """Full KNP operator action in one pass: y = (1/dt) mass(x)
         + D stiffness(x) + z psi D drift(x).  The per-ion scalars arrive
-        in SMEM as coef = [1/dt, D, z*psi*D], so one (W, 1) scatter
-        suffices (a 3-column output triples the MXU-starved scatter)."""
+        in SMEM as coef = [1/dt, D, z*psi*D]."""
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -320,19 +356,18 @@ def _make_knp_kernel(k: int):
         dt_inv = coef_ref[0]
         D = coef_ref[1]
         zpsiD = coef_ref[2]
-        xr = x_ref[0]  # (1, W)
+        x2t = x_ref[0, 0]  # (128, Wr)
         li = lidx_ref[0, 0]  # (1, KC)
         gr = grads_ref[0, 0]  # (dim, KC)
         vols = vols_ref[0, 0]  # (1, KC)
         wc = wc_ref[0, 0]  # (dim, KC) grad(phi) lane rows
-        W = xr.shape[1]
+        Wr = x2t.shape[1]
         KC = li.shape[1]
         dim = gr.shape[0]
         C = KC // k
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
-        E = (iota == li).astype(jnp.bfloat16)
-        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (1, KC)
+        E_hi, E_lo = _onehot_factored(li, Wr)
+        xe = _gather_factored(x2t, E_hi, E_lo, x2t.dtype)  # (1, KC)
         xsum = _lane_tile(_lane_sum(xe, k, C), k)  # (1, KC)
 
         m_row = (vols / (k * (k + 1))) * (xsum + xe)
@@ -348,59 +383,57 @@ def _make_knp_kernel(k: int):
             + (D * vols) * s_row
             + (zpsiD * vols) * ((xsum / k) * wg)
         )
-        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (1, W)
+        out_ref[0, 0] += _scatter_factored(ye, E_hi, E_lo, x2t.dtype)
 
     return _knp_kernel
 
 
-def _make_knp_kernel_batch(k: int):
+def _make_knp_kernel_batch(k: int, B: int):
     def _knp_kernel_b(x_ref, lidx_ref, grads_ref, vols_ref, wc_ref,
                       coef_ref, out_ref):
         """Batched KNP operator action: all B ion systems of one
-        subdomain in a single pass.  xr is (B, W); the per-ion scalars
-        [1/dt, D, z*psi*D] arrive as a VMEM (B, 128) row table (cols
-        0..2 used) so row slices broadcast against (B, KC) lanes.  The
-        one-hot E is built once and shared by every ion — the E
-        materialization is the kernel's dominant cost, so batching B
-        ions costs ~1x E instead of Bx."""
+        subdomain in a single pass.  x is (B, 128, Wr) column-layout;
+        the per-ion scalars [1/dt, D, z*psi*D] arrive as a VMEM (B, 128)
+        row table (cols 0..2 used).  The factored one-hots are built
+        once and shared by every ion, so B systems cost ~1x."""
         c = pl.program_id(1)
 
         @pl.when(c == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        xr = x_ref[0]  # (B, W)
         li = lidx_ref[0, 0]  # (1, KC)
         gr = grads_ref[0, 0]  # (dim, KC)
         vols = vols_ref[0, 0]  # (1, KC)
         wc = wc_ref[0, 0]  # (dim, KC)
-        dt_inv = coef_ref[:, 0:1]  # (B, 1)
-        D = coef_ref[:, 1:2]
-        zpsiD = coef_ref[:, 2:3]
-        W = xr.shape[1]
+        Wr = x_ref.shape[3]
         KC = li.shape[1]
         dim = gr.shape[0]
         C = KC // k
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (W, KC), 0)
-        E = (iota == li).astype(jnp.bfloat16)
-        xe = _dot_e_exact(xr, E, ((1,), (0,)), xr.dtype)  # (B, KC)
-        xsum = _lane_tile(_lane_sum(xe, k, C), k)  # (B, KC)
-
-        m_row = (vols / (k * (k + 1))) * (xsum + xe)
-        s_row = jnp.zeros_like(xe)
+        E_hi, E_lo = _onehot_factored(li, Wr)
         wg = jnp.zeros_like(gr[0:1])
         for d in range(dim):
-            gd = gr[d : d + 1, :]
-            gx = _lane_tile(_lane_sum(gd * xe, k, C), k)  # (B, KC)
-            s_row = s_row + gx * gd
-            wg = wg + wc[d : d + 1, :] * gd
-        ye = (
-            dt_inv * m_row
-            + (D * vols) * s_row
-            + (zpsiD * vols) * ((xsum / k) * wg)
-        )
-        out_ref[0] += _dot_e_scatter(ye, E, xr.dtype)  # (B, W)
+            wg = wg + wc[d : d + 1, :] * gr[d : d + 1, :]
+        for b in range(B):
+            x2t = x_ref[0, b]  # (128, Wr)
+            dt_inv = coef_ref[b : b + 1, 0:1]  # (1, 1)
+            D = coef_ref[b : b + 1, 1:2]
+            zpsiD = coef_ref[b : b + 1, 2:3]
+            xe = _gather_factored(x2t, E_hi, E_lo, x2t.dtype)  # (1, KC)
+            xsum = _lane_tile(_lane_sum(xe, k, C), k)
+            m_row = (vols / (k * (k + 1))) * (xsum + xe)
+            s_row = jnp.zeros_like(xe)
+            for d in range(dim):
+                gd = gr[d : d + 1, :]
+                gx = _lane_tile(_lane_sum(gd * xe, k, C), k)
+                s_row = s_row + gx * gd
+            ye = (
+                dt_inv * m_row
+                + (D * vols) * s_row
+                + (zpsiD * vols) * ((xsum / k) * wg)
+            )
+            out_ref[0, b] += _scatter_factored(ye, E_hi, E_lo, x2t.dtype)
 
     return _knp_kernel_b
 
@@ -417,15 +450,16 @@ def knp_apply_blocked_batch(X, bk: BlockedCells, grads_lane, vols_lane,
     coef = coef.at[:, 0].set(jnp.asarray(dt_inv, X.dtype))
     coef = coef.at[:, 1].set(jnp.asarray(D_vec, X.dtype))
     coef = coef.at[:, 2].set(jnp.asarray(z_vec * psi * D_vec, X.dtype))
-    xw = make_windows(list(X), bk)  # (NB, B, W)
+    xw = make_windows_colmajor(list(X), bk)  # (NB, B, 128, Wr)
 
     NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
+    Wr = W // 128
     NCH = bk.n_chunks
     out = pl.pallas_call(
-        _make_knp_kernel_batch(bk.k),
+        _make_knp_kernel_batch(bk.k, B),
         grid=(NB, NCH),
         in_specs=[
-            pl.BlockSpec((1, B, W), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, B, 128, Wr), lambda b, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -437,16 +471,16 @@ def knp_apply_blocked_batch(X, bk: BlockedCells, grads_lane, vols_lane,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, W), lambda b, c: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, B, 128, Wr), lambda b, c: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, B, W), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((NB, B, 128, Wr), X.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xw, jnp.asarray(bk.lidx_lane), grads_lane, vols_lane, wc_lane, coef)
-    Y = combine_windows(out, bk)  # (B, n)
+    Y = combine_windows(windows_from_colmajor(out, bk), bk)  # (B, n)
     if len(bk.rest_cells):
         from . import kernels as K
 
@@ -478,8 +512,9 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM)
         )
         pre_args.append(scalars)
+    Wr = W // 128
     in_specs += [
-        pl.BlockSpec((1, nvars, W), lambda b, c: (b, 0, 0),
+        pl.BlockSpec((1, nvars, 128, Wr), lambda b, c: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -499,16 +534,17 @@ def _grid_call(kernel, bk: BlockedCells, xw, extra, out_cols, interpret,
         kernel,
         grid=(NB, NCH),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, out_cols, W), lambda b, c: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, out_cols, 128, Wr),
+                               lambda b, c: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, out_cols, W), xw.dtype),
+        out_shape=jax.ShapeDtypeStruct((NB, out_cols, 128, Wr), xw.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return out
+    return windows_from_colmajor(out, bk)
 
 
 def emi_stiffness_blocked(x, prep, bk: BlockedCells, grads_lane,
@@ -516,7 +552,7 @@ def emi_stiffness_blocked(x, prep, bk: BlockedCells, grads_lane,
     """y = (kappa-weighted stiffness) @ x; ``prep`` is the per-solve
     prepared coefficient from :func:`prepare_emi_weight`."""
     wvols_lane, rest_w = prep
-    xw = make_windows([x], bk)
+    xw = make_windows_colmajor([x], bk)
     yw = _grid_call(_make_emi_kernel(bk.k), bk, xw,
                     (grads_lane, wvols_lane), 1, interpret)
     y = combine_windows(yw, bk)[0]
@@ -542,7 +578,7 @@ def knp_apply_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
         jnp.asarray(D, x.dtype),
         jnp.asarray(zpsiD, x.dtype),
     ])
-    xw = make_windows([x], bk)
+    xw = make_windows_colmajor([x], bk)
     yw = _grid_call(_make_knp_kernel(bk.k), bk, xw,
                     (grads_lane, vols_lane, wc_lane), 1, interpret,
                     scalars=coef)

@@ -102,8 +102,10 @@ class EMISolver:
         )
         nullvec = sys_.nullvec
         if nullvec is not None:
-            # null(S A S) = S^{-1} null(A): the scaled constant vector
-            nv = 1.0 / s
+            # null(S A S) = S^{-1} null(A); scale the system's null
+            # direction (NOT a bare 1/s: sharded layouts carry padding
+            # rows where the null direction is zero)
+            nv = nullvec / s
             nullvec = nv / jnp.sqrt(self.dot(nv, nv))
 
         # Coarse-space deflation: the membrane coupling C_phi*M_Gamma is

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Reference-scale MMS verification ladder.
+
+The reference verifies at unit-square resolutions M=100...1600
+(tests/make_mesh_mms.py:96-100, run_mms.py:614-616, run_mms_emi.py:342).
+tests/test_mms.py asserts rate 2 at M=8/16/32 for CI speed; this script
+demonstrates the same asserted convergence at the reference's sizes and
+prints the familiar error tables.
+
+    python tools/run_mms_ladder.py --Ms 100 200 400 [--iterative]
+
+Direct (MUMPS-parity scipy LU) by default; --iterative runs the
+TPU-native Krylov path at rtol 1e-10.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--Ms", type=int, nargs="+", default=[100, 200, 400])
+    ap.add_argument("--iterative", action="store_true")
+    ap.add_argument("--min-rate", type=float, default=1.9)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from knpemi_tpu.mesh import unit_square_mms_mesh
+    from knpemi_tpu.ops.geometry import build_geometry
+    from knpemi_tpu.systems.emi import emi_system
+    from knpemi_tpu.systems.knp import knp_system
+    from knpemi_tpu.systems.coupling import set_initial_conditions
+    from knpemi_tpu.systems.mms import (
+        reference_mms_case, build_mms_data, l2_error,
+    )
+    from knpemi_tpu.solvers import direct as D
+    from knpemi_tpu.solvers.api import create_solver_emi, create_solver_knp
+
+    errs_by_M = {}
+    for M in args.Ms:
+        t0 = time.perf_counter()
+        mesh = unit_square_mms_mesh(M)
+        geom = build_geometry(mesh)
+        case = reference_mms_case(geom)
+        ions, emi_data, knp_data = build_mms_data(geom, case)
+        p = case.params
+        esys = emi_system(geom, ions, p, mms=emi_data)
+        ksys = knp_system(geom, ions, p, mms=knp_data)
+        c0 = set_initial_conditions(geom, ions)
+        phiM0 = {m: jnp.zeros(sp.n_dofs) for m, sp in geom.membranes.items()}
+        if args.iterative:
+            es = create_solver_emi(esys, rtol=1e-10, maxiter=20000)
+            ks = create_solver_knp(ksys, rtol=1e-10, maxiter=20000)
+            phi, ie = es.solve(c0, phiM0)
+            cK, ik = ks.solve(c0, phi, phiM0)
+            solver_note = f"emi_it={int(ie.iters)} knp_it={int(ik.iters)}"
+        else:
+            x = D.solve_emi_direct(esys, c0, phiM0)
+            phi = esys.split(jnp.asarray(x))
+            cK = D.solve_knp_direct(ksys, c0, phi, phiM0)
+            cK = {t: jnp.asarray(v) for t, v in cK.items()}
+            solver_note = "direct LU"
+        errs = dict(
+            phi_e=l2_error(geom, 0, phi[0], case.phi[0]),
+            phi_i=l2_error(geom, 1, phi[1], case.phi[1]),
+            a_e=l2_error(geom, 0, cK[0][0], case.conc[("a", 0)]),
+            b_e=l2_error(geom, 0, cK[0][1], case.conc[("b", 0)]),
+            a_i=l2_error(geom, 1, cK[1][0], case.conc[("a", 1)]),
+            b_i=l2_error(geom, 1, cK[1][1], case.conc[("b", 1)]),
+        )
+        errs_by_M[M] = errs
+        dofs = geom.emi_size
+        print(f"M={M:5d} (dofs {dofs}, {time.perf_counter() - t0:.1f}s, "
+              f"{solver_note}): "
+              + "  ".join(f"{k}={v:.3e}" for k, v in errs.items()))
+
+    print("\nconvergence rates (vs previous M):")
+    ok = True
+    Ms = args.Ms
+    for k in errs_by_M[Ms[0]]:
+        rates = [
+            float(np.log2(errs_by_M[Ms[i - 1]][k] / errs_by_M[Ms[i]][k])
+                  / np.log2(Ms[i] / Ms[i - 1]))
+            for i in range(1, len(Ms))
+        ]
+        tail = rates[-1] if rates else float("nan")
+        flag = "" if tail > args.min_rate else "  <-- BELOW TARGET"
+        ok = ok and tail > args.min_rate
+        print(f"  {k:6s}: " + "  ".join(f"{r:.2f}" for r in rates) + flag)
+    print("\nPASS" if ok else "\nFAIL", f"(target rate {args.min_rate})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
