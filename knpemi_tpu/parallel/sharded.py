@@ -775,14 +775,23 @@ class ShardedSimulation:
                 fd_loc = fd_loc * mask + (1.0 - mask)
             knp_mg_w[t] = _GatheredMG(mg_t, (tg, tl), fd_loc)
 
+        comp = sim.opts.compensated_dots
+        if comp is None:
+            comp = sim.dtype == jnp.float32
+        if comp:
+            from ..solvers.precision import make_pdot2
+
+            dot_fn = make_pdot2(AXIS)
+        else:
+            dot_fn = pdot
         emi_solver = EMISolver(
             esys, rtol=sim.opts.rtol_emi, atol=sim.opts.atol_emi,
-            maxiter=sim.opts.maxiter, dot=pdot, mg=emi_mg_w,
+            maxiter=sim.opts.maxiter, dot=dot_fn, mg=emi_mg_w,
         )
         knp_solver = KNPSolver(
             ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,
             maxiter=sim.opts.maxiter, restart=sim.opts.restart,
-            dot=pdot, mg=knp_mg_w,
+            dot=dot_fn, mg=knp_mg_w,
         )
 
         # [1] membrane ODEs: replicated traces, dof rows sharded over mesh

@@ -58,6 +58,10 @@ class SolverOptions:
     # the refresh swaps into the compiled chunk without recompiling
     # (refresh_mg docstring); the cost is one host assembly + RAP sweep.
     mg_refresh_every: int = 0
+    # compensated (double-single) Krylov inner products: closes most of
+    # the f32-vs-f64 dot-product gap on TPU at ~6 VPU flops/element
+    # (solvers/precision.py).  None -> auto: on for f32 runs.
+    compensated_dots: Optional[bool] = None
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
@@ -121,13 +125,21 @@ class Simulation:
             geom, ions, params, splitting_scheme, dtype=dtype,
             use_pallas=use_pallas,
         )
+        comp = opts.compensated_dots
+        if comp is None:
+            comp = dtype == jnp.float32
+        if comp:
+            from ..solvers.precision import dot2 as _dot
+        else:
+            _dot = jnp.vdot
         self.emi_solver = EMISolver(
             self.emi_sys, direct=opts.direct, rtol=opts.rtol_emi,
-            atol=opts.atol_emi, maxiter=opts.maxiter,
+            atol=opts.atol_emi, maxiter=opts.maxiter, dot=_dot,
         )
         self.knp_solver = KNPSolver(
             self.knp_sys, direct=opts.direct, rtol=opts.rtol_knp,
             atol=opts.atol_knp, maxiter=opts.maxiter, restart=opts.restart,
+            dot=_dot,
         )
         # time gate for the ECS source term (pulsed K+/Na- injection in the
         # benchmark/astrocyte drivers); must be jax-traceable t -> scalar

@@ -269,6 +269,8 @@ class KNPSolver:
                     def M(V, mg_t=mg_t):
                         return jax.vmap(lambda r: mg_t.apply(_noA, r))(V)
 
+                from .precision import dot2, bdot2
+
                 res = gmres_batched(
                     A_hat,
                     s_eq * rhs[t],
@@ -279,6 +281,7 @@ class KNPSolver:
                     maxiter=self.maxiter,
                     restart=self.restart,
                     min_iter=self.min_iter,
+                    bdot=bdot2 if self.dot is dot2 else None,
                 )
                 out[t] = s_eq * res.x
                 iters = jnp.maximum(iters, res.iters)

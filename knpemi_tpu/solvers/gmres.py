@@ -158,10 +158,12 @@ def gmres_batched(
     maxiter: int = 1000,
     restart: int = 30,
     min_iter: int = 0,
+    bdot: Optional[Callable] = None,
 ) -> KrylovResult:
     """Restarted GMRES over a BATCH of systems sharing one operator call:
     ``A`` maps (B, n) -> (B, n) and is invoked once per inner iteration
-    for all batch rows together.
+    for all batch rows together.  ``bdot`` overrides the rowwise inner
+    product (e.g. the compensated solvers/precision.py::bdot2).
 
     This is the TPU-shaped version of the KNP block solve: the ion
     systems of one subdomain differ only in scalar coefficients, and the
@@ -184,8 +186,9 @@ def gmres_batched(
     B, n = b.shape
     m = restart
 
-    def bdot(u, v):
-        return jnp.einsum("bn,bn->b", u, v)
+    if bdot is None:
+        def bdot(u, v):
+            return jnp.einsum("bn,bn->b", u, v)
 
     eps = jnp.finfo(b.dtype).eps
     rtol = jnp.maximum(jnp.asarray(rtol, b.dtype), 4 * eps)

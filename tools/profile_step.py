@@ -147,15 +147,8 @@ def main():
         Ah = lambda v: s * es.matvec(s * v, ctx)
         mg0 = sim.emi_solver.mg
         print(f"  EMI V-cycle      : {loop_timeit(lambda r, mg: mg.apply(Ah, r), x, mg0):8.3f} ms/op")
-        lv0 = mg0.levels[0]
-        if lv0.get("a_band") is not None:
-            from knpemi_tpu.solvers.mg import _banded_mv
-
-            print(f"  EMI lagged banded: {loop_timeit(lambda v: _banded_mv(lv0['a_band'], v), x):8.3f} ms/op")
-        if lv0.get("a_cols") is not None:
-            from knpemi_tpu.solvers.mg import _ell_mv
-
-            print(f"  EMI lagged ELL   : {loop_timeit(lambda v: _ell_mv(lv0['a_cols'], lv0['a_vals'], v), x):8.3f} ms/op")
+        # (lagged banded/ELL fine-operator timings live in
+        # tools/profile_matvec.py, which passes the slabs as jit args)
 
     # --- phase 3: KNP solve -------------------------------------------
     def phase_knp(state, phi, I_ch, mg):
