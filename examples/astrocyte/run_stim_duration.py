@@ -132,8 +132,11 @@ def build_simulation(config: dict, dtype=None):
                             ("Cl_i", CL_G_INIT)]:
                 mm.params0[:, mm.param_index(name)] = v
 
+    # refresh the lagged EMI hierarchy every 100 steps (10 ms): the
+    # stimulated [K]e drift moves kappa by several percent over the
+    # pulse train, and the refresh is recompile-free (refresh_mg)
     sopts = dict(direct=False, rtol_emi=1e-6, atol_emi=1e-40,
-                 rtol_knp=1e-7, atol_knp=2e-40)
+                 rtol_knp=1e-7, atol_knp=2e-40, mg_refresh_every=100)
     sopts.update(config.get("solver") or {})
     sim = Simulation(
         geom, ions, params, mem_models, SolverOptions(**sopts),

@@ -39,6 +39,7 @@ def build_simulation(
     dt: float = 1.0e-4,
     l: int = 2,
     dtype=None,
+    solver_options: SolverOptions | None = None,
 ):
     if dtype is None:
         dtype = default_dtype()
@@ -63,7 +64,8 @@ def build_simulation(
     )
     sim = Simulation(
         geom, ions, params, mem_models,
-        SolverOptions(direct=direct, rtol_emi=1e-5, rtol_knp=1e-7),
+        solver_options
+        or SolverOptions(direct=direct, rtol_emi=1e-5, rtol_knp=1e-7),
         dtype=dtype,
     )
     return sim

@@ -65,6 +65,15 @@ class SolverOptions:
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
+    # V-cycle smoother: 'jacobi' (1 damped pass), 'cheby'
+    # (Chebyshev-Richardson polynomial of mg_degree), or 'auto':
+    # jacobi below 100k fine dofs, cheby above.  Measured at 3-D res 1
+    # (26k dofs): jacobi wins (16 its, cheap cycles) and cheby-3 only
+    # reaches 15 its at 3x cycle cost.  NOTE the res-2 iteration growth
+    # (EMI 19 -> ~52) is NOT a smoothing problem — cheby barely moves
+    # it — but a coarse-space quality problem; see TODO_NEXT.md.
+    mg_smoother: str = "auto"
+    mg_degree: int = 3
     # block-banded dense V-cycle operators: a TPU-only win (dense slab
     # matmuls ride HBM at full bandwidth vs ~140M elem/s random gathers;
     # on CPU the ~100x FLOP inflation is compute-bound and loses to ELL).
@@ -168,6 +177,13 @@ class Simulation:
         self._chunk_jit = {}
 
     # ------------------------------------------------------------------
+
+    def _smoother_for(self, n: int):
+        sm = self.opts.mg_smoother
+        if sm == "auto":
+            sm = "jacobi" if n < 100_000 else "cheby"
+        return sm
+
     def _emi_Ahat(self, c):
         """Assemble the equilibrated EMI operator for concentrations c
         (host scipy); returns (A_hat, s) with A_hat = S A S, S=diag(s)."""
@@ -196,6 +212,8 @@ class Simulation:
             coarse_max=self.opts.mg_coarse_max,
             nu=self.opts.mg_nu,
             banded=self._mg_banded,
+            smoother=self._smoother_for(A_hat.shape[0]),
+            degree=self.opts.mg_degree,
         )
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
@@ -229,6 +247,8 @@ class Simulation:
                 A_hat, B=1.0 / s, theta=self.opts.mg_theta,
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
                 banded=self._mg_banded,
+                smoother=self._smoother_for(A_hat.shape[0]),
+                degree=self.opts.mg_degree,
             )
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
@@ -267,6 +287,8 @@ class Simulation:
                 A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
                 banded=self._mg_banded,
+                smoother=self._smoother_for(A_hat.shape[0]),
+                degree=self.opts.mg_degree,
             )
             mg[t] = hier.device(
                 self.dtype, band_dtype=self._band_dtype,

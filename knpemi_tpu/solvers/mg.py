@@ -125,11 +125,29 @@ def _csr_to_ell(A: sp.csr_matrix, pad_diag=True):
     return cols, vals
 
 
+def _cheb_steps(lam_max: float, degree: int, eig_ratio: float = 4.0):
+    """Richardson step sizes 1/r_i at the Chebyshev points of
+    [lam_max/eig_ratio, lam_max] for D^{-1}A — the standard
+    hypre/PyAMG-style polynomial smoother that keeps V-cycle iteration
+    counts mesh-independent where a single damped-Jacobi pass does not
+    (measured here: EMI 19 -> 55 iterations from 3-D res 1 to res 2).
+    degree=1 reduces to damped Jacobi with omega = 1/r_0."""
+    lmin = lam_max / eig_ratio
+    d = 0.5 * (lam_max + lmin)
+    c = 0.5 * (lam_max - lmin)
+    roots = d + c * np.cos(np.pi * (2 * np.arange(degree) + 1)
+                           / (2.0 * degree))
+    return (1.0 / roots).astype(np.float64)
+
+
 @dataclasses.dataclass
 class MGLevel:
     n: int
     diag: np.ndarray
     omega: float
+    # polynomial-smoother step sizes (Richardson over 1/diag); length =
+    # smoothing degree.  [omega] reproduces plain damped Jacobi.
+    steps: Optional[np.ndarray] = None
     # operator in ELL form (None on the finest level: matrix-free there)
     a_cols: Optional[np.ndarray] = None
     a_vals: Optional[np.ndarray] = None
@@ -178,8 +196,13 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
         rem_nnz = int(remaining.sum())
         if rem_nnz == 0 or (windows and rem_nnz < 0.02 * A.nnz):
             break  # leftover is cheap enough as a COO remainder
+        # split remaining entries by row-block in one pass (blk is
+        # nondecreasing in CSR order; a per-block boolean scan is
+        # O(NB * nnz) and dominated setup at res 2: ~3e9 ops)
+        rem_idx = np.flatnonzero(remaining)
+        bounds = np.searchsorted(blk[rem_idx], np.arange(1, NB))
         block_cols = [
-            np.sort(indices[remaining & (blk == b)]) for b in range(NB)
+            np.sort(part) for part in np.split(indices[rem_idx], bounds)
         ]
 
         def coverage(W):
@@ -293,10 +316,15 @@ class MGHierarchy:
 
         out = []
         for lv in self.levels:
+            steps = (
+                lv.steps if lv.steps is not None
+                else np.array([lv.omega])
+            )
             out.append(
                 dict(
                     n=lv.n,
-                    dinv=jnp.asarray(lv.omega / lv.diag, dtype=dtype),
+                    dinv=jnp.asarray(1.0 / lv.diag, dtype=dtype),
+                    steps=jnp.asarray(steps, dtype=dtype),
                     a_cols=None if lv.a_cols is None else jnp.asarray(lv.a_cols),
                     a_vals=None
                     if lv.a_vals is None
@@ -328,6 +356,8 @@ def build_hierarchy(
     omega_p: float = 4.0 / 3.0,
     fine_ell: bool = True,
     banded: bool = True,
+    smoother: str = "cheby",
+    degree: int = 3,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -355,6 +385,16 @@ def build_hierarchy(
         diag = np.where(np.abs(diag) > 0, diag, 1.0)
         Af = strength_filter(A, theta)
         agg, nc = vanek_aggregate(Af)
+        # relabel aggregates by their minimum fine index: fine dofs are
+        # Morton-ordered, so this keeps coarse levels locality-ordered
+        # too — without it the level-1 banded windows balloon ~4x
+        # (measured 893 MB at 3-D res 2) because Vanek emits aggregates
+        # in sweep order, not spatial order
+        first = np.full(nc, n, np.int64)
+        np.minimum.at(first, agg, np.arange(n))
+        ranks = np.empty(nc, np.int64)
+        ranks[np.argsort(first, kind="stable")] = np.arange(nc)
+        agg = ranks[agg]
         norm = np.sqrt(np.bincount(agg, B**2, minlength=nc))
         norm = np.where(norm > 0, norm, 1.0)
         w = B / norm[agg]
@@ -364,15 +404,25 @@ def build_hierarchy(
         df = np.where(df != 0, df, 1.0)
         P = (Pt - (omega_p / lam_f) * (sp.diags(1.0 / df) @ (Af @ Pt))).tocsr()
 
-        lv = MGLevel(n=n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)),
-                     P_csr=P)
+        lam = _lam_max_jacobi(A)
+        lv = MGLevel(
+            n=n, diag=diag, omega=4.0 / (3.0 * lam), P_csr=P,
+            steps=(
+                _cheb_steps(lam, degree) if smoother == "cheby"
+                else np.array([4.0 / (3.0 * lam)])
+            ),
+        )
         if levels or fine_ell:  # store the (lagged) operator in ELL form
             lv.a_cols, lv.a_vals = _csr_to_ell(A)
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
         lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
         if banded:
+            # the finest level dominates V-cycle cost: give it a larger
+            # slab budget (ELL fallback there means ~30x slower random
+            # gathers per smoothing pass — the res-2 9 s/step failure)
+            cap = (2048 << 20) if not levels else (512 << 20)
             if lv.a_cols is not None:
-                lv.a_band = _csr_to_banded(A)
+                lv.a_band = _csr_to_banded(A, mem_cap=cap)
             lv.p_band = _csr_to_banded(P)
             lv.pt_band = _csr_to_banded(P.T.tocsr())
         levels.append(lv)
@@ -485,8 +535,14 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarch
             raise ValueError("level size mismatch during refresh")
         diag = A.diagonal()
         diag = np.where(np.abs(diag) > 0, diag, 1.0)
+        lam = _lam_max_jacobi(A)
+        deg = 1 if lv.steps is None else len(lv.steps)
         nl = MGLevel(
-            n=lv.n, diag=diag, omega=4.0 / (3.0 * _lam_max_jacobi(A)),
+            n=lv.n, diag=diag, omega=4.0 / (3.0 * lam),
+            steps=(
+                _cheb_steps(lam, deg) if deg > 1
+                else np.array([4.0 / (3.0 * lam)])
+            ),
             p_cols=lv.p_cols, p_vals=lv.p_vals,
             pt_cols=lv.pt_cols, pt_vals=lv.pt_vals,
             p_band=lv.p_band, pt_band=lv.pt_band,
@@ -575,12 +631,22 @@ class DeviceMG:
         lv = self.levels[i]
         A = self._op(i, A0)
         dinv = lv["dinv"]
-        x = dinv * r
+        steps = lv["steps"]
+        k = steps.shape[0]
+        # polynomial (Chebyshev-Richardson) pre-smoothing; step values
+        # are runtime scalars so a refreshed hierarchy swaps in without
+        # recompiling.  Post-smoothing reverses the step order to keep
+        # the V-cycle symmetric for CG.
+        x = steps[0] * (dinv * r)
+        for j in range(1, k):
+            x = x + steps[j] * (dinv * (r - A(x)))
         for _ in range(self.nu - 1):
-            x = x + dinv * (r - A(x))
+            for j in range(k):
+                x = x + steps[j] * (dinv * (r - A(x)))
         rc = self._transfer(lv, "pt", r - A(x))
         xc = self._cycle(i + 1, A0, rc)
         x = x + self._transfer(lv, "p", xc)
         for _ in range(self.nu):
-            x = x + dinv * (r - A(x))
+            for j in range(k - 1, -1, -1):
+                x = x + steps[j] * (dinv * (r - A(x)))
         return x

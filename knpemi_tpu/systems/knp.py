@@ -326,10 +326,32 @@ class KNPSystem:
         r = {}
         for t in self.tags:
             s = self.sub[t]
-            # time derivative: (1/dt) c_prev
-            r_t = jax.vmap(
-                lambda x: K.mass_apply(s["n_dofs"], x, s["cells"], s["vols"], 1.0 / dt)
-            )(c[t][: self.n_solved])
+            # time derivative: (1/dt) c_prev.  On the Pallas path the
+            # batched operator kernel with D = z = 0 IS the mass action
+            # (gather/scatter-free); the XLA scatter path costs ~8 ms at
+            # 3-D res 1 and was the largest single RHS term.
+            if self.use_pallas and mms is None:
+                from ..ops import pallas_assembly as PA
+
+                blk = self.blocked[t]
+                nrest = len(blk["bk"].rest_cells)
+                rest_w = (
+                    jnp.zeros((nrest, self.dim), self.dtype)
+                    if nrest else None
+                )
+                zeros = jnp.zeros((self.n_solved,), self.dtype)
+                r_t = PA.knp_apply_blocked_batch(
+                    c[t][: self.n_solved], blk["bk"], blk["grads"],
+                    blk["vols"], (blk["grads"], rest_w), 1.0 / dt,
+                    zeros, zeros, self.params.psi,
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                r_t = jax.vmap(
+                    lambda x: K.mass_apply(
+                        s["n_dofs"], x, s["cells"], s["vols"], 1.0 / dt
+                    )
+                )(c[t][: self.n_solved])
             # sources
             if mms is not None and t in mms.f_k_q:
                 cb, cw = jnp.asarray(mms.cell_bary), jnp.asarray(mms.cell_qw)
