@@ -93,6 +93,67 @@ def vanek_aggregate(Af: sp.csr_matrix):
     return agg, nc
 
 
+def _tentative_prolongator(agg: np.ndarray, nc: int, B: np.ndarray):
+    """Multi-candidate SA tentative prolongator: per aggregate, an
+    orthonormal basis (QR) of the near-null candidates restricted to the
+    aggregate; returns (Pt, B_coarse).
+
+    With B = [constant] this is classic single-vector SA.  Multi-
+    candidate support exists for adaptive/bootstrap experiments; note
+    that per-subdomain indicator candidates are redundant here
+    (aggregates never cross the membrane, so an indicator restricted to
+    any aggregate is proportional to the constant), and measured
+    adaptive random-relaxed candidates did not help the EMI operator —
+    the res-2 iteration growth was a cycle-recursion problem fixed by
+    the W-cycle (MGHierarchy.gamma), not a coarse-space one.
+    """
+    n, m = B.shape
+    order = np.argsort(agg, kind="stable")
+    counts = np.bincount(agg, minlength=nc)
+    starts = np.zeros(nc + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rows = []
+    cols = []
+    vals = []
+    Bc = np.zeros((nc * m, m))
+    # group aggregates by size so each group QRs as one batched einsum
+    for size in np.unique(counts):
+        if size == 0:
+            continue
+        aggs = np.flatnonzero(counts == size)
+        idx = np.stack(
+            [order[starts[a] : starts[a] + size] for a in aggs]
+        )  # (na, size)
+        Bb = B[idx]  # (na, size, m)
+        Q, R = np.linalg.qr(Bb)  # (na, size, k), (na, k, m); k=min(size,m)
+        k = Q.shape[2]
+        # fix QR sign ambiguity (diag(R) >= 0) for determinism
+        sign = np.sign(np.einsum("aii->ai", R[:, :k, :k]))
+        sign = np.where(sign == 0, 1.0, sign)
+        Q = Q * sign[:, None, :]
+        R = R * sign[:, :, None]
+        na = len(aggs)
+        rows.append(np.repeat(idx.reshape(na, size), k, axis=1).ravel())
+        cols.append(
+            (aggs[:, None, None] * m
+             + np.arange(k)[None, None, :]).repeat(size, axis=1).ravel()
+        )
+        vals.append(Q.reshape(-1))
+        Bc[(aggs[:, None] * m + np.arange(k)[None, :]).ravel()] = (
+            R.reshape(na * k, m)
+        )
+    Pt = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, nc * m),
+    )
+    # drop numerically-zero columns (aggregates smaller than m produce
+    # rank-deficient blocks); keep shapes simple by keeping them — the
+    # zero columns yield zero coarse rows/cols and a harmless singular
+    # direction handled by the coarse eigenvalue cutoff.
+    return Pt, Bc
+
+
 def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 30) -> float:
     d = A.diagonal()
     d = np.where(d != 0, d, 1.0)
@@ -281,12 +342,20 @@ class MGHierarchy:
     dense pseudo-inverse mixes O(1e6) and O(1) entries inside one matmul
     accumulation and loses the near-null corrections to f32 cancellation
     (observed as CG stalling at ~1e-4 relative residual); the factored
-    form keeps the large numbers in an exact diagonal scale."""
+    form keeps the large numbers in an exact diagonal scale.
+
+    ``gamma`` is the cycle index: 1 = V-cycle, 2 = W-cycle.  Measured on
+    the 3-D res-2 EMI operator: the TWO-GRID method (exact coarse solve)
+    converges in 5-6 CG iterations while the V-cycle needs ~55 — the
+    interpolation is fine and the recursion is the weak link, which is
+    exactly what gamma=2 fixes; with coarsening ratio ~5.6 the W-cycle
+    costs only ~1.5x a V-cycle."""
 
     levels: List[MGLevel]
     coarse_V: np.ndarray
     coarse_ilam: np.ndarray
     nu: int = 1
+    gamma: int = 2
 
     def device(self, dtype, band_dtype=None, band_pallas=False):
         """``band_dtype`` is the storage/compute dtype of the banded slabs
@@ -343,6 +412,7 @@ class MGHierarchy:
             jnp.asarray(self.coarse_V, dtype=dtype),
             jnp.asarray(self.coarse_ilam, dtype=dtype),
             self.nu,
+            gamma=self.gamma,
         )
 
 
@@ -358,6 +428,7 @@ def build_hierarchy(
     banded: bool = True,
     smoother: str = "cheby",
     degree: int = 3,
+    gamma: int = 2,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -378,13 +449,33 @@ def build_hierarchy(
     A = A0.tocsr()
     if B is None:
         B = np.ones(A.shape[0])
+    B = np.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    m_cand = B.shape[1]
+    node_size = 1  # coarse levels carry m_cand dofs per supernode
     levels: List[MGLevel] = []
-    while A.shape[0] > coarse_max and len(levels) < max_levels:
+    while A.shape[0] > coarse_max * m_cand and len(levels) < max_levels:
         n = A.shape[0]
         diag = A.diagonal()
         diag = np.where(np.abs(diag) > 0, diag, 1.0)
-        Af = strength_filter(A, theta)
-        agg, nc = vanek_aggregate(Af)
+        if node_size == 1:
+            Af = strength_filter(A, theta)
+            agg, nc = vanek_aggregate(Af)
+        else:
+            # multi-candidate coarse levels: aggregate m-dof SUPERNODES
+            # on the condensed |A| graph (running Vanek on the raw
+            # 2x2-blocked operator stalls: phase-1 neighborhoods are
+            # never fully free and coarsening stops)
+            Co = sp.coo_matrix(abs(A))
+            cond = sp.csr_matrix(
+                (Co.data, (Co.row // node_size, Co.col // node_size)),
+                shape=(n // node_size, n // node_size),
+            )
+            cond.sum_duplicates()
+            agg_nodes, nc = vanek_aggregate(strength_filter(cond, theta))
+            agg = np.repeat(agg_nodes, node_size)
+            Af = strength_filter(A, theta)  # dof-level, for P smoothing
         # relabel aggregates by their minimum fine index: fine dofs are
         # Morton-ordered, so this keeps coarse levels locality-ordered
         # too — without it the level-1 banded windows balloon ~4x
@@ -395,10 +486,7 @@ def build_hierarchy(
         ranks = np.empty(nc, np.int64)
         ranks[np.argsort(first, kind="stable")] = np.arange(nc)
         agg = ranks[agg]
-        norm = np.sqrt(np.bincount(agg, B**2, minlength=nc))
-        norm = np.where(norm > 0, norm, 1.0)
-        w = B / norm[agg]
-        Pt = sp.csr_matrix((w, (np.arange(n), agg)), shape=(n, nc))
+        Pt, B = _tentative_prolongator(agg, nc, B)
         lam_f = _lam_max_jacobi(Af)
         df = Af.diagonal()
         df = np.where(df != 0, df, 1.0)
@@ -428,11 +516,17 @@ def build_hierarchy(
         levels.append(lv)
 
         A = (P.T @ A @ P).tocsr()
-        B = norm
+        node_size = m_cand
+    if A.shape[0] > 20 * coarse_max:
+        raise RuntimeError(
+            f"AMG coarsening stalled at n={A.shape[0]} "
+            f"(coarse_max={coarse_max}); dense coarse solve refused"
+        )
     lam, V = np.linalg.eigh(A.toarray())
     lmax = np.abs(lam).max() if len(lam) else 1.0
     ilam = np.where(np.abs(lam) > 1e-10 * lmax, 1.0 / lam, 0.0)
-    return MGHierarchy(levels=levels, coarse_V=V, coarse_ilam=ilam, nu=nu)
+    return MGHierarchy(levels=levels, coarse_V=V, coarse_ilam=ilam, nu=nu,
+                       gamma=gamma)
 
 
 # ---------------------------------------------------------------------------
@@ -563,7 +657,7 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarch
     lmax = np.abs(lam).max() if len(lam) else 1.0
     ilam = np.where(np.abs(lam) > 1e-10 * lmax, 1.0 / lam, 0.0)
     return MGHierarchy(levels=new_levels, coarse_V=V, coarse_ilam=ilam,
-                       nu=hier.nu)
+                       nu=hier.nu, gamma=hier.gamma)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -578,11 +672,13 @@ class DeviceMG:
     compile setups with bounded request sizes, and the basis for
     refreshing the lagged hierarchy without recompiling the step."""
 
-    def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None):
+    def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None,
+                 gamma: int = 2):
         self.levels = levels
         self.coarse_V = coarse_V
         self.coarse_ilam = coarse_ilam
         self.nu = nu
+        self.gamma = gamma
         # raw (unequilibrated) diagonal of the fine operator this
         # hierarchy was built from.  Solvers use it as a LAGGED
         # equilibration scale, skipping the per-solve diag assembly:
@@ -596,16 +692,16 @@ class DeviceMG:
         )
         dyn = [x if isinstance(x, jax.Array) else None for x in flat]
         static = tuple(None if isinstance(x, jax.Array) else x for x in flat)
-        return dyn, (treedef, static, self.nu)
+        return dyn, (treedef, static, self.nu, self.gamma)
 
     @classmethod
     def tree_unflatten(cls, aux, dyn):
-        treedef, static, nu = aux
+        treedef, static, nu, gamma = aux
         flat = [d if s is None else s for d, s in zip(dyn, static)]
         levels, V, ilam, fine_diag = jax.tree_util.tree_unflatten(
             treedef, flat
         )
-        return cls(levels, V, ilam, nu, fine_diag)
+        return cls(levels, V, ilam, nu, fine_diag, gamma)
 
     def _op(self, i: int, A0: Callable):
         lv = self.levels[i]
@@ -645,6 +741,13 @@ class DeviceMG:
                 x = x + steps[j] * (dinv * (r - A(x)))
         rc = self._transfer(lv, "pt", r - A(x))
         xc = self._cycle(i + 1, A0, rc)
+        # W-cycle (gamma=2): re-solve the coarse problem on its own
+        # residual — the recursion, not the interpolation, limits the
+        # V-cycle here (see MGHierarchy docstring)
+        if i + 1 < len(self.levels):
+            Ac = self._op(i + 1, A0)
+            for _ in range(self.gamma - 1):
+                xc = xc + self._cycle(i + 1, A0, rc - Ac(xc))
         x = x + self._transfer(lv, "p", xc)
         for _ in range(self.nu):
             for j in range(k - 1, -1, -1):

@@ -38,11 +38,17 @@ def loop_timeit(op, x, *extra, K=50, reps=3):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from run_3d import build_simulation
 
-    sim = build_simulation(resolution=1, g_syn_bar=10.0)
+    sim = build_simulation(resolution=args.res, g_syn_bar=10.0)
     es = sim.emi_sys
     ks = sim.knp_sys
 
