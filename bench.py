@@ -111,16 +111,32 @@ def main():
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "knpemi_mdof_per_s_per_chip",
-                "value": round(mdofs, 4),
-                "unit": "MDoF/s",
-                "vs_baseline": round(vs_baseline, 3),
+    out = {
+        "metric": "knpemi_mdof_per_s_per_chip",
+        "value": round(mdofs, 4),
+        "unit": "MDoF/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+
+    # large-problem case (>=500k dofs): TPU-only timing at 3-D res 2,
+    # where the chip is bandwidth- rather than latency-bound
+    if case == "3d" and res == 1 and os.environ.get(
+        "KNPEMI_BENCH_BIG", "1"
+    ) == "1":
+        try:
+            sim_big = build_simulation(resolution=2, g_syn_bar=10.0)
+            dofs_big = _dofs_per_step(sim_big)
+            wall_big, _, ie, ik = _time_steps(sim_big, 3)
+            out["big_case"] = {
+                "dofs": dofs_big,
+                "ms_per_step": round(wall_big / 3 * 1e3, 1),
+                "mdof_per_s": round(dofs_big * 3 / wall_big / 1e6, 4),
+                "emi_iters": int(ie[-1]),
             }
-        )
-    )
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            out["big_case"] = {"error": str(e)[:200]}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

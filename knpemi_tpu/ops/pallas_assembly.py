@@ -87,11 +87,17 @@ def build_blocking(
     vols: np.ndarray,
     n_dofs: int,
     S: int = 512,
-    max_spill: int = 7,
+    max_spill: int = 31,
     vmem_budget: int = 12 * 1024 * 1024,
 ) -> Optional[BlockedCells]:
     """Assign each cell to the block of its min dof; returns None if the
-    Morton dof spread forces windows beyond `max_spill` strides."""
+    Morton dof spread forces windows beyond `max_spill` strides.
+
+    The factored-index kernels made wide windows cheap (per-chunk cost
+    is ~KC * (2*W/128 + const) bytes of VMEM, no longer W*KC), so the
+    spill cap is generous: Morton spread grows ~n^(2/3) and the old cap
+    of 7 silently disabled the whole Pallas path at 3-D res 2 (the
+    matvec fell back to 65 ms XLA gathers)."""
     k = cells.shape[1]
     dim = grads.shape[-1]
     cmin = cells.min(axis=1)
@@ -116,9 +122,9 @@ def build_blocking(
     order = np.argsort(bid, kind="stable")
     counts = np.bincount(bid, minlength=NB)
     Bmax = int(counts.max())
-    # lanes per chunk: the one-hot costs 4*W*k*C bytes of VMEM; lane
-    # alignment needs k*C to be a multiple of 128
-    C = max(32, min(512, vmem_budget // (4 * W * k)))
+    # lanes per chunk under the factored-kernel VMEM model (E_hi is
+    # (W/128, KC) bf16 + ~5 (128, KC) f32 temporaries)
+    C = max(32, min(512, vmem_budget // (k * (W // 64 + 2560))))
     C = int(2 ** np.floor(np.log2(C)))
     while (k * C) % 128:
         C *= 2

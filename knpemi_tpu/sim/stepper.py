@@ -65,13 +65,13 @@ class SolverOptions:
     mg_theta: float = 0.08
     mg_coarse_max: int = 800
     mg_nu: int = 1
-    # V-cycle smoother: 'jacobi' (1 damped pass), 'cheby'
-    # (Chebyshev-Richardson polynomial of mg_degree), or 'auto':
-    # jacobi below 100k fine dofs, cheby above.  Measured at 3-D res 1
-    # (26k dofs): jacobi wins (16 its, cheap cycles) and cheby-3 only
-    # reaches 15 its at 3x cycle cost.  NOTE the res-2 iteration growth
-    # (EMI 19 -> ~52) is NOT a smoothing problem — cheby barely moves
-    # it — but a coarse-space quality problem; see TODO_NEXT.md.
+    # V-cycle smoother: 'jacobi' (1 damped pass, default) or 'cheby'
+    # (Chebyshev-Richardson polynomial of mg_degree).  With B-compatible
+    # lumping (solvers/mg.py::strength_filter) iteration counts are
+    # mesh-independent under plain Jacobi (EMI 19/23 at 3-D res 1/2)
+    # and Chebyshev's small iteration gain (18 at res 2) never repays
+    # its 3.5x smoothing cost.  'auto' = 'jacobi' (kept for config
+    # compatibility).
     mg_smoother: str = "auto"
     mg_degree: int = 3
     # block-banded dense V-cycle operators: a TPU-only win (dense slab
@@ -181,7 +181,7 @@ class Simulation:
     def _smoother_for(self, n: int):
         sm = self.opts.mg_smoother
         if sm == "auto":
-            sm = "jacobi" if n < 100_000 else "cheby"
+            sm = "jacobi"
         return sm
 
     def _emi_Ahat(self, c):

@@ -39,9 +39,19 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 # host-side setup
 # ---------------------------------------------------------------------------
-def strength_filter(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
-    """Keep |a_ij| >= theta sqrt(a_ii a_jj); lump dropped entries onto the
-    diagonal (standard SA filtering)."""
+def strength_filter(A: sp.csr_matrix, theta: float,
+                    B: Optional[np.ndarray] = None) -> sp.csr_matrix:
+    """Keep |a_ij| >= theta sqrt(a_ii a_jj); lump dropped entries onto
+    the diagonal.
+
+    Lumping is B-COMPATIBLE when the near-null vector is given:
+    a_ii += a_ij * B_j / B_i, so that Af B = A B exactly.  Plain lumping
+    (the B = constant special case) silently breaks near-null
+    preservation for equilibrated operators — B = 1/sqrt(diag) varies by
+    orders of magnitude at membrane rows, the Jacobi-smoothed P then
+    fails to reproduce B, and every Galerkin level compounds the defect
+    (measured: the level-1 EMI solve needed 43 CG iterations while the
+    fine-level two-grid took 5)."""
     A = A.tocsr()
     d = np.abs(A.diagonal())
     C = A.tocoo()
@@ -49,10 +59,11 @@ def strength_filter(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
         C.row == C.col
     )
     Af = sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape)
-    dropped = sp.csr_matrix(
-        (C.data[~keep], (C.row[~keep], C.col[~keep])), shape=A.shape
-    )
-    lump = np.asarray(dropped.sum(axis=1)).ravel()
+    drow, dcol, dval = C.row[~keep], C.col[~keep], C.data[~keep]
+    if B is not None:
+        Bs = np.where(B != 0, B, 1.0)
+        dval = dval * (B[dcol] / Bs[drow])
+    lump = np.bincount(drow, weights=dval, minlength=A.shape[0])
     return (Af + sp.diags(lump)).tocsr()
 
 
@@ -344,18 +355,21 @@ class MGHierarchy:
     (observed as CG stalling at ~1e-4 relative residual); the factored
     form keeps the large numbers in an exact diagonal scale.
 
-    ``gamma`` is the cycle index: 1 = V-cycle, 2 = W-cycle.  Measured on
-    the 3-D res-2 EMI operator: the TWO-GRID method (exact coarse solve)
-    converges in 5-6 CG iterations while the V-cycle needs ~55 — the
-    interpolation is fine and the recursion is the weak link, which is
-    exactly what gamma=2 fixes; with coarsening ratio ~5.6 the W-cycle
-    costs only ~1.5x a V-cycle."""
+    ``gamma`` is the cycle index: 1 = V-cycle (default), 2 = W-cycle.
+    History on the 3-D res-2 EMI operator: plain lumping + V-cycle
+    needed ~55 CG iterations (two-grid: 5-6; recursion was the weak
+    link) and the W-cycle recovered ~30; B-COMPATIBLE lumping
+    (strength_filter) fixed the root cause — near-null preservation
+    through every level — bringing the V-cycle to ~20 iterations.
+    On the B-lumped hierarchy the W-cycle OVER-corrects (lambda(CA)
+    exceeds 2 on some modes, the double pass turns indefinite and CG
+    diverges), so gamma stays 1 by default."""
 
     levels: List[MGLevel]
     coarse_V: np.ndarray
     coarse_ilam: np.ndarray
     nu: int = 1
-    gamma: int = 2
+    gamma: int = 1
 
     def device(self, dtype, band_dtype=None, band_pallas=False):
         """``band_dtype`` is the storage/compute dtype of the banded slabs
@@ -428,7 +442,7 @@ def build_hierarchy(
     banded: bool = True,
     smoother: str = "cheby",
     degree: int = 3,
-    gamma: int = 2,
+    gamma: int = 1,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -460,7 +474,7 @@ def build_hierarchy(
         diag = A.diagonal()
         diag = np.where(np.abs(diag) > 0, diag, 1.0)
         if node_size == 1:
-            Af = strength_filter(A, theta)
+            Af = strength_filter(A, theta, B=B[:, 0])
             agg, nc = vanek_aggregate(Af)
         else:
             # multi-candidate coarse levels: aggregate m-dof SUPERNODES
@@ -475,7 +489,8 @@ def build_hierarchy(
             cond.sum_duplicates()
             agg_nodes, nc = vanek_aggregate(strength_filter(cond, theta))
             agg = np.repeat(agg_nodes, node_size)
-            Af = strength_filter(A, theta)  # dof-level, for P smoothing
+            # dof-level filtered matrix for P smoothing (B-compatible)
+            Af = strength_filter(A, theta, B=B[:, 0])
         # relabel aggregates by their minimum fine index: fine dofs are
         # Morton-ordered, so this keeps coarse levels locality-ordered
         # too — without it the level-1 banded windows balloon ~4x
@@ -508,7 +523,7 @@ def build_hierarchy(
             # the finest level dominates V-cycle cost: give it a larger
             # slab budget (ELL fallback there means ~30x slower random
             # gathers per smoothing pass — the res-2 9 s/step failure)
-            cap = (2048 << 20) if not levels else (512 << 20)
+            cap = (4096 << 20) if not levels else (512 << 20)
             if lv.a_cols is not None:
                 lv.a_band = _csr_to_banded(A, mem_cap=cap)
             lv.p_band = _csr_to_banded(P)
@@ -673,7 +688,7 @@ class DeviceMG:
     refreshing the lagged hierarchy without recompiling the step."""
 
     def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None,
-                 gamma: int = 2):
+                 gamma: int = 1):
         self.levels = levels
         self.coarse_V = coarse_V
         self.coarse_ilam = coarse_ilam
