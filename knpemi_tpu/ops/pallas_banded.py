@@ -37,18 +37,31 @@ from jax.experimental.pallas import tpu as pltpu
 @functools.partial(jax.jit, static_argnames=("NB", "R", "W", "interpret"))
 def _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret):
     J = W // 128
+    # bf16 slabs (halved HBM traffic, preconditioner-internal use only)
+    # accumulate in f32 — Mosaic requires a 32-bit matmul acc — and run
+    # at native bf16 precision (fp32 contract precision on bf16 operands
+    # is rejected, "Bad lhs type")
+    is_bf16 = slabT.dtype == jnp.bfloat16
+    prec = (
+        jax.lax.Precision.DEFAULT if is_bf16 else jax.lax.Precision.HIGHEST
+    )
 
     def kernel(w0r_ref, x_ref, s_ref, o_ref):
         b = pl.program_id(0)
         row0 = w0r_ref[b]
-        acc = jnp.zeros((1, R), x2.dtype)
+        acc = jnp.zeros((1, R), jnp.float32)
         for j in range(J):
+            # the x table stays f32 (bf16 tables break the dynamic
+            # sublane slice: 16-row tile granularity); cast the sliced
+            # row to match a bf16 slab
             xrow = x_ref[pl.ds(row0 + j, 1), :]
+            if is_bf16:
+                xrow = xrow.astype(jnp.bfloat16)
             sblk = s_ref[j * 128:(j + 1) * 128, :]
             acc = acc + jax.lax.dot_general(
                 xrow, sblk, (((1,), (0,)), ((), ())),
-                preferred_element_type=x2.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+                precision=prec,
             )
         o_ref[0] = acc
 
@@ -63,7 +76,7 @@ def _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret):
         out_specs=pl.BlockSpec(
             (1, 1, R), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((NB, 1, R), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, R), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,

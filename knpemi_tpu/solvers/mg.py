@@ -567,7 +567,7 @@ def _banded_mv(band, x):
             from ..ops.pallas_banded import banded_matvec
 
             ys = banded_matvec(
-                slabT, win["w0_rows"], x.astype(slabT.dtype), n, W
+                slabT, win["w0_rows"], x, n, W
             ).astype(x.dtype)
         else:
             xp = jnp.pad(x, (0, W))
