@@ -235,21 +235,22 @@ class Simulation:
         The reference re-runs hypre's setup implicitly whenever PETSc
         reassembles (pdeSolver.py:32); this is the TPU-native analog,
         amortized to every ``SolverOptions.mg_refresh_every`` steps."""
-        from ..solvers.mg import refresh_hierarchy, build_hierarchy
+        from ..solvers.mg import refresh_hierarchy
+        from ..utils.logging import warn
 
         A_hat, s = self._emi_Ahat(state.c)
         try:
             hier = refresh_hierarchy(self._emi_hier, A_hat)
-        except ValueError:
-            # sparsity drifted (cannot happen for pure value updates, but
-            # stay safe): full rebuild — costs a recompile downstream
-            hier = build_hierarchy(
-                A_hat, B=1.0 / s, theta=self.opts.mg_theta,
-                coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
-                banded=self._mg_banded,
-                smoother=self._smoother_for(A_hat.shape[0]),
-                degree=self.opts.mg_degree,
-            )
+        except ValueError as e:
+            # Structure must NEVER change mid-run: a rebuilt hierarchy
+            # with a different pytree forces a chunk retrace (measured:
+            # the astrocyte run crashed at its first refresh when f32
+            # kappa rounding perturbed the assembled sparsity).  Keep
+            # the stale hierarchy — it is only a slightly weaker
+            # preconditioner, never a correctness issue.
+            warn(f"MG refresh skipped (layout drift: {e}); "
+                 "keeping the stale hierarchy")
+            return
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
             self.dtype, band_dtype=self._band_dtype,

@@ -177,23 +177,40 @@ def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 30) -> float:
     return float(max(lam, 1e-30))
 
 
-def _csr_to_ell(A: sp.csr_matrix, pad_diag=True):
+def _csr_to_ell(A: sp.csr_matrix, pad_diag=True, K=None):
+    """ELL layout; ``K`` forces the width (frozen-shape refreshes): rows
+    wider than K drop their smallest-|value| entries."""
     A = A.tocsr()
     n = A.shape[0]
-    K = max(int(np.diff(A.indptr).max()), 1)
-    cols = np.zeros((n, K), dtype=np.int32)
-    vals = np.zeros((n, K))
+    Kmax = max(int(np.diff(A.indptr).max()), 1)
+    cols = np.zeros((n, Kmax), dtype=np.int32)
+    vals = np.zeros((n, Kmax))
     nnz_per_row = np.diff(A.indptr)
     # vectorized fill
     rows = np.repeat(np.arange(n), nnz_per_row)
     pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
     cols[rows, pos] = A.indices
     vals[rows, pos] = A.data
+    pos_mask = np.zeros((n, Kmax), dtype=bool)
+    pos_mask[rows, pos] = True
+    if K is not None and K != Kmax:
+        if Kmax > K:
+            order = np.argsort(-np.abs(vals), axis=1)[:, :K]
+            r = np.arange(n)[:, None]
+            cols, vals, pos_mask = (
+                cols[r, order], vals[r, order], pos_mask[r, order]
+            )
+        else:
+            pad = K - Kmax
+            cols = np.pad(cols, ((0, 0), (0, pad)))
+            vals = np.pad(vals, ((0, 0), (0, pad)))
+            pos_mask = np.pad(pos_mask, ((0, 0), (0, pad)))
+        Kmax = K
     if pad_diag:
         # unused slots point at the row itself with zero value
-        mask = pos_mask = np.zeros((n, K), dtype=bool)
-        pos_mask[rows, pos] = True
-        cols[~pos_mask] = np.repeat(np.arange(n)[:, None], K, 1)[~pos_mask]
+        cols[~pos_mask] = np.repeat(
+            np.arange(n)[:, None], Kmax, 1
+        )[~pos_mask]
     return cols, vals
 
 
@@ -615,10 +632,20 @@ def _csr_fill_banded(A: sp.csr_matrix, band):
     far_rows = rows[remaining].astype(np.int32)
     far_cols = indices[remaining].astype(np.int32)
     far_vals = data[remaining]
-    if len(far_rows) != len(fr):
-        raise ValueError(
-            f"sparsity drift during banded refresh: {len(far_rows)} far "
-            f"entries vs {len(fr)} in the original layout"
+    # tolerate small pattern drift (f32 kappa rounding creates/destroys
+    # exact zeros in the assembled CSR): the device layout's shape is
+    # FROZEN, so pad missing entries with zeros and drop the smallest
+    # extras (preconditioner-internal; values are near roundoff)
+    target = len(fr)
+    if len(far_rows) < target:
+        pad = target - len(far_rows)
+        far_rows = np.concatenate([far_rows, np.zeros(pad, np.int32)])
+        far_cols = np.concatenate([far_cols, np.zeros(pad, np.int32)])
+        far_vals = np.concatenate([far_vals, np.zeros(pad, far_vals.dtype)])
+    elif len(far_rows) > target:
+        keep = np.argsort(np.abs(far_vals))[::-1][:target]
+        far_rows, far_cols, far_vals = (
+            far_rows[keep], far_cols[keep], far_vals[keep]
         )
     return new_windows, far_rows, far_cols, far_vals, n, m
 
@@ -658,12 +685,7 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarch
             P_csr=lv.P_csr,
         )
         if lv.a_cols is not None:
-            nl.a_cols, nl.a_vals = _csr_to_ell(A)
-            if nl.a_vals.shape != lv.a_vals.shape:
-                raise ValueError(
-                    f"ELL width drift during refresh: {nl.a_vals.shape} "
-                    f"vs {lv.a_vals.shape}"
-                )
+            nl.a_cols, nl.a_vals = _csr_to_ell(A, K=lv.a_vals.shape[1])
         if lv.a_band is not None:
             nl.a_band = _csr_fill_banded(A, lv.a_band)
         new_levels.append(nl)
