@@ -166,16 +166,23 @@ def solve_system(config: dict, verbose: bool = True, outdir: str | None = None):
             )
 
     def observer(s):
-        traces["t"].append(float(s.t))
-        traces["phi_M_neuron"].append(float(s.phi_M[1].mean()))
-        traces["phi_M_glial"].append(float(s.phi_M[2].mean()))
-        traces["K_e_max"].append(float(s.c[0][0].max()))
-        traces["K_e_min"].append(float(s.c[0][0].min()))
+        # ONE device->host transfer for everything the observer needs:
+        # per-field np.asarray costs a synchronous tunnel roundtrip each
+        # (measured: 21 fields x 600 calls turned a 29 ms/step run into
+        # 240 ms/step end-to-end)
+        t_h, phi_h, c_h, phi_M_h = jax.device_get(
+            (s.t, s.phi, s.c, s.phi_M)
+        )
+        traces["t"].append(float(t_h))
+        traces["phi_M_neuron"].append(float(phi_M_h[1].mean()))
+        traces["phi_M_glial"].append(float(phi_M_h[2].mean()))
+        traces["K_e_max"].append(float(c_h[0][0].max()))
+        traces["K_e_min"].append(float(c_h[0][0].min()))
         for tag, w in writers.items():
-            fields = {f"phi_{tag}": np.asarray(s.phi[tag])}
+            fields = {f"phi_{tag}": phi_h[tag]}
             for k, ion in enumerate(sim.ions):
-                fields[f"c_{ion.name}_{tag}"] = np.asarray(s.c[tag][k])
-            w.write(float(s.t), fields)
+                fields[f"c_{ion.name}_{tag}"] = c_h[tag][k]
+            w.write(float(t_h), fields)
 
     t0 = time.perf_counter()
     state, it_emi, it_knp = sim.run(
@@ -202,9 +209,13 @@ if __name__ == "__main__":
     parser.add_argument("-c", metavar="config", default="baseline",
                         help="config name under config_files/ or a path")
     parser.add_argument("--outdir", default="results")
+    parser.add_argument("--Tstop", type=float, default=None,
+                        help="override the config's Tstop (ms)")
     args = parser.parse_args()
     cfg_path = Path(args.c)
     if not cfg_path.exists():
         cfg_path = Path(__file__).parent / "config_files" / f"{args.c}.yml"
     config = load_config(cfg_path)
+    if args.Tstop is not None:
+        config["Tstop"] = args.Tstop
     solve_system(config, outdir=args.outdir)

@@ -128,6 +128,7 @@ def solve_system(resolution=0, Tstop=5.0, direct=False, verbose=True,
     )}
 
     def observer(s):
+        s = jax.device_get(s)  # one host transfer for all probes
         traces["t"].append(float(s.t))
         for name in ("Na", "K", "Cl"):
             traces[f"{name}_e"].append(float(s.c[0][ion_idx[name], p_e]))

@@ -105,6 +105,9 @@ def solve_system(resolution: int, Tstop: float = 1.0e-2, direct: bool = False,
     snapshots = []
 
     def observer(s):
+        # one device->host transfer (per-field np.asarray costs a
+        # synchronous tunnel roundtrip each)
+        s = jax.device_get(s)
         pm = np.asarray(s.phi_M[1])
         traces["t"].append(float(s.t))
         traces["phi_M_probe"].append(float(pm[probe]))

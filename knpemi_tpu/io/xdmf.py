@@ -220,7 +220,8 @@ class TimeSeriesWriter:
     """Per-step field output on a submesh (the analog of the reference's
     per-subdomain XDMFFile + write_function, run_2D.py:40-77)."""
 
-    def __init__(self, path: str, points: np.ndarray, cells: np.ndarray):
+    def __init__(self, path: str, points: np.ndarray, cells: np.ndarray,
+                 flush_every: int = 64):
         import h5py
 
         self.path = str(path)
@@ -232,17 +233,30 @@ class TimeSeriesWriter:
         self.h5["/Mesh/geometry"] = self.points
         self.h5["/Mesh/topology"] = self.cells.astype(np.int64)
         self.steps = []  # (time, {name: dset})
+        # RAM-buffered writes: per-call h5 dataset creation costs ~ms of
+        # HDF5 metadata work per field (measured ~23 ms/step on the
+        # flagship's 21 fields); buffer and flush in batches instead
+        self._pending = []  # (index, time, {name: array})
+        self._flush_every = int(flush_every)
 
     def write(self, t: float, fields: Dict[str, np.ndarray]):
         i = len(self.steps)
-        entry = {}
-        for name, arr in fields.items():
-            key = f"/Function/{name}/{i}"
-            self.h5[key] = np.asarray(arr)
-            entry[name] = key
+        entry = {name: f"/Function/{name}/{i}" for name in fields}
+        self._pending.append(
+            (i, {name: np.asarray(arr).copy() for name, arr in fields.items()})
+        )
         self.steps.append((float(t), entry))
+        if len(self._pending) >= self._flush_every:
+            self._flush()
+
+    def _flush(self):
+        for i, fields in self._pending:
+            for name, arr in fields.items():
+                self.h5[f"/Function/{name}/{i}"] = arr
+        self._pending = []
 
     def close(self):
+        self._flush()
         h5rel = os.path.basename(self.h5path)
         nv = self.cells.shape[1]
         dim = self.points.shape[1]

@@ -455,7 +455,18 @@ class Simulation:
                 chunk = self._chunk(n)
             t0 = time.perf_counter()
             state, (ce, ck, ok) = chunk(state)
-            state.t.block_until_ready()
+            # ONE host sync per chunk: each device->host pull costs a
+            # full tunnel roundtrip (~100 ms on the remote-TPU setup —
+            # scattered np.asarray/block_until_ready calls dominated the
+            # flagship's wall time).  The observer receives the host
+            # (numpy) state pytree.
+            if observer is not None:
+                host_state, ce, ck, ok = jax.device_get(
+                    (state, ce, ck, ok)
+                )
+            else:
+                host_state = None
+                ce, ck, ok = jax.device_get((ce, ck, ok))
             if verbose:
                 dt_wall = time.perf_counter() - t0
                 print(
@@ -472,7 +483,7 @@ class Simulation:
                     and getattr(self, "_emi_hier", None) is not None:
                 self.refresh_mg(state)
             if observer:
-                observer(state)
+                observer(host_state)
         return state, np.concatenate(it_e), np.concatenate(it_k)
 
     def _check_health(self, state, ok_steps: np.ndarray, offset: int = 0):
