@@ -81,3 +81,41 @@ def test_halo_is_neighbor_exchange(sims):
         assert p.n_hops >= 1
     # ECS Morton spread keeps the halo to a small hop count
     assert sh.parts[0].n_hops < 8
+
+
+def test_sharded_matches_single_device_with_sources():
+    """Multi-membrane + ECS-source coverage: the benchmark scenario
+    (3 membrane tags, pulsed K+/Na- box source, gate) must also match
+    the single-device step under the dof-sharded decomposition."""
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "examples" / "benchmark")
+    )
+    import run_stim_duration as bench_driver
+
+    sim = bench_driver.build_simulation(resolution=0)
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+
+    s0 = sim.init_state()
+    s1 = s0
+    # the gate reads the PRE-step time: step 4 is the first with
+    # state.t = 0.3 > 0.2, i.e. the first step the source actually fires
+    for _ in range(4):
+        s1 = sim.step(s1)
+
+    p1 = sh.init_state()
+    for _ in range(4):
+        p1 = sh.step(p1)
+    pu = sh.unpad_state(p1)
+
+    for t in s1.c:
+        np.testing.assert_allclose(
+            np.asarray(pu.c[t]), np.asarray(s1.c[t]), rtol=1e-8
+        )
+    for m in s1.phi_M:
+        np.testing.assert_allclose(
+            np.asarray(pu.phi_M[m]), np.asarray(s1.phi_M[m]),
+            rtol=1e-8, atol=1e-10,
+        )
+    # the source must have actually fired (K_e rises near the box well
+    # beyond the resting membrane leak scale)
+    assert float(pu.c[0][0].max()) > float(s0.c[0][0].max()) + 1e-4
