@@ -119,3 +119,34 @@ def test_sharded_matches_single_device_with_sources():
     # the source must have actually fired (K_e rises near the box well
     # beyond the resting membrane leak scale)
     assert float(pu.c[0][0].max()) > float(s0.c[0][0].max()) + 1e-4
+
+
+def test_sharded_three_subdomains():
+    """Three-subdomain coverage (ECS + neuron + glial): the astrocyte
+    scenario exercises the sharded flat-EMI layout with multiple ICS
+    blocks and two membranes."""
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "examples" / "astrocyte")
+    )
+    import run_stim_duration as astro_driver
+    from knpemi_tpu.sim.config import load_config
+
+    cfg = load_config(
+        Path(__file__).resolve().parents[1]
+        / "examples" / "astrocyte" / "config_files" / "baseline.yml"
+    )
+    sim = astro_driver.build_simulation(cfg)
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+
+    s1 = sim.step(sim.init_state())
+    p1 = sh.unpad_state(sh.step(sh.init_state()))
+
+    for t in s1.c:
+        np.testing.assert_allclose(
+            np.asarray(p1.c[t]), np.asarray(s1.c[t]), rtol=1e-8
+        )
+    for m in s1.phi_M:
+        np.testing.assert_allclose(
+            np.asarray(p1.phi_M[m]), np.asarray(s1.phi_M[m]),
+            rtol=1e-8, atol=1e-10,
+        )
