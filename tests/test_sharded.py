@@ -83,14 +83,28 @@ def test_halo_is_neighbor_exchange(sims):
     assert sh.parts[0].n_hops < 8
 
 
+def _load_driver(example: str):
+    """Load an example driver under a unique module name (both benchmark
+    and astrocyte name their driver run_stim_duration.py — a plain
+    import returns whichever got cached first)."""
+    import importlib.util
+
+    path = (Path(__file__).resolve().parents[1] / "examples" / example
+            / "run_stim_duration.py")
+    sys.path.insert(0, str(path.parent))
+    spec = importlib.util.spec_from_file_location(
+        f"{example}_run_stim_duration", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_sharded_matches_single_device_with_sources():
     """Multi-membrane + ECS-source coverage: the benchmark scenario
     (3 membrane tags, pulsed K+/Na- box source, gate) must also match
     the single-device step under the dof-sharded decomposition."""
-    sys.path.insert(
-        0, str(Path(__file__).resolve().parents[1] / "examples" / "benchmark")
-    )
-    import run_stim_duration as bench_driver
+    bench_driver = _load_driver("benchmark")
 
     sim = bench_driver.build_simulation(resolution=0)
     sh = ShardedSimulation(sim, devices=jax.devices()[:8])
@@ -125,10 +139,7 @@ def test_sharded_three_subdomains():
     """Three-subdomain coverage (ECS + neuron + glial): the astrocyte
     scenario exercises the sharded flat-EMI layout with multiple ICS
     blocks and two membranes."""
-    sys.path.insert(
-        0, str(Path(__file__).resolve().parents[1] / "examples" / "astrocyte")
-    )
-    import run_stim_duration as astro_driver
+    astro_driver = _load_driver("astrocyte")
     from knpemi_tpu.sim.config import load_config
 
     cfg = load_config(
