@@ -58,6 +58,12 @@ class SolverOptions:
     # the refresh swaps into the compiled chunk without recompiling
     # (refresh_mg docstring); the cost is one host assembly + RAP sweep.
     mg_refresh_every: int = 0
+    # run that rebuild on a background host thread (pure numpy/scipy —
+    # no jax in the worker) and swap the refreshed hierarchy in at a
+    # later chunk boundary: the ~1 s rebuild then overlaps device
+    # compute instead of stalling the loop (~20% of the flagship's
+    # wall time at mg_refresh_every=100).
+    mg_refresh_async: bool = True
     # compensated (double-single) Krylov inner products: closes most of
     # the f32-vs-f64 dot-product gap on TPU at ~6 VPU flops/element
     # (solvers/precision.py).  None -> auto: on for f32 runs.
@@ -224,6 +230,43 @@ class Simulation:
             self._emi_diag0, self.dtype
         )
 
+    def _refresh_payload(self, c_host):
+        """Host-side hierarchy value refresh — PURE numpy/scipy (no jax),
+        so it can run on a worker thread while the device computes.
+        Returns ((hier, raw_diag), None) or (None, reason)."""
+        import scipy.sparse as sp
+        from ..solvers import direct as direct_mod
+        from ..solvers.mg import refresh_hierarchy
+
+        F, psi = self.params.F, self.params.psi
+        kappa = {}
+        for t in self.emi_sys.tags:
+            acc = 0.0
+            for k, ion in enumerate(self.ions):
+                acc = acc + (ion.z**2) * ion.D[t] * np.asarray(c_host[t][k])
+            kappa[t] = F * psi * acc
+        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
+        d = A0.diagonal()
+        diag0 = np.where(d != 0, d, 1.0)
+        s = 1.0 / np.sqrt(np.abs(diag0))
+        A_hat = (sp.diags(s) @ A0 @ sp.diags(s)).tocsr()
+        try:
+            hier = refresh_hierarchy(self._emi_hier, A_hat)
+        except ValueError as e:
+            return None, str(e)
+        return (hier, diag0), None
+
+    def _install_refreshed(self, hier, diag0):
+        """Swap a refreshed hierarchy in (main thread: creates device
+        arrays).  Shapes are frozen, so the compiled chunk is reused."""
+        self._emi_hier = hier
+        self._emi_diag0 = diag0
+        self.emi_solver.mg = hier.device(
+            self.dtype, band_dtype=self._band_dtype,
+            band_pallas=self._use_pallas,
+        )
+        self.emi_solver.mg.fine_diag = jnp.asarray(diag0, self.dtype)
+
     def refresh_mg(self, state: SimState):
         """Rebuild the EMI hierarchy VALUES from the current concentrations
         with frozen transfer operators and sparsity (solvers/mg.py::
@@ -232,33 +275,25 @@ class Simulation:
         a jit argument).  The KNP hierarchies never need refreshing: their
         setup operator (mass + mean-D stiffness) is time-constant.
 
+        Structure must NEVER change mid-run: a rebuilt hierarchy with a
+        different pytree forces a chunk retrace (measured: the astrocyte
+        run crashed at its first refresh when f32 kappa rounding
+        perturbed the assembled sparsity) — an irrecoverable layout
+        drift keeps the stale hierarchy with a warning instead.
+
         The reference re-runs hypre's setup implicitly whenever PETSc
         reassembles (pdeSolver.py:32); this is the TPU-native analog,
         amortized to every ``SolverOptions.mg_refresh_every`` steps."""
-        from ..solvers.mg import refresh_hierarchy
         from ..utils.logging import warn
 
-        A_hat, s = self._emi_Ahat(state.c)
-        try:
-            hier = refresh_hierarchy(self._emi_hier, A_hat)
-        except ValueError as e:
-            # Structure must NEVER change mid-run: a rebuilt hierarchy
-            # with a different pytree forces a chunk retrace (measured:
-            # the astrocyte run crashed at its first refresh when f32
-            # kappa rounding perturbed the assembled sparsity).  Keep
-            # the stale hierarchy — it is only a slightly weaker
-            # preconditioner, never a correctness issue.
-            warn(f"MG refresh skipped (layout drift: {e}); "
+        c_host = jax.device_get(state.c)
+        res, err = self._refresh_payload(c_host)
+        if res is None:
+            warn(f"MG refresh skipped (layout drift: {err}); "
                  "keeping the stale hierarchy")
             return
-        self._emi_hier = hier
-        self.emi_solver.mg = hier.device(
-            self.dtype, band_dtype=self._band_dtype,
-            band_pallas=self._use_pallas,
-        )
-        self.emi_solver.mg.fine_diag = jnp.asarray(
-            self._emi_diag0, self.dtype
-        )
+        hier, diag0 = res
+        self._install_refreshed(hier, diag0)
 
     def _setup_knp_mg(self):
         """Lagged SA-AMG per subdomain for the KNP blocks: built once from
@@ -478,13 +513,54 @@ class Simulation:
             it_k.append(np.asarray(ck))
             done += n
             self._check_health(state, np.asarray(ok), done - n)
-            every = getattr(self.opts, "mg_refresh_every", 0)
-            if every and done < n_steps and done % every == 0 \
-                    and getattr(self, "_emi_hier", None) is not None:
-                self.refresh_mg(state)
+            self._maybe_refresh(state, host_state, done, n_steps)
             if observer:
                 observer(host_state)
+        self._harvest_refresh(block=False)
         return state, np.concatenate(it_e), np.concatenate(it_k)
+
+    # -- lagged-hierarchy refresh orchestration ------------------------
+    def _maybe_refresh(self, state, host_state, done, n_steps):
+        every = getattr(self.opts, "mg_refresh_every", 0)
+        if not every or getattr(self, "_emi_hier", None) is None:
+            return
+        self._harvest_refresh(block=False)
+        if done >= n_steps or done % every != 0:
+            return
+        if not getattr(self.opts, "mg_refresh_async", True):
+            self.refresh_mg(state)
+            return
+        if getattr(self, "_refresh_future", None) is not None:
+            return  # previous rebuild still running; skip this tick
+        import concurrent.futures
+
+        if getattr(self, "_refresh_pool", None) is None:
+            self._refresh_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mg-refresh"
+            )
+        c_host = (
+            host_state.c if host_state is not None
+            else jax.device_get(state.c)
+        )
+        # the worker is PURE numpy/scipy (no jax): safe off-thread
+        self._refresh_future = self._refresh_pool.submit(
+            self._refresh_payload, c_host
+        )
+
+    def _harvest_refresh(self, block: bool):
+        fut = getattr(self, "_refresh_future", None)
+        if fut is None or (not block and not fut.done()):
+            return
+        self._refresh_future = None
+        res, err = fut.result()
+        if res is None:
+            from ..utils.logging import warn
+
+            warn(f"MG refresh skipped (layout drift: {err}); "
+                 "keeping the stale hierarchy")
+            return
+        hier, diag0 = res
+        self._install_refreshed(hier, diag0)
 
     def _check_health(self, state, ok_steps: np.ndarray, offset: int = 0):
         """Fail fast on Krylov non-convergence (reference parity:
