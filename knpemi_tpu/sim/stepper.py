@@ -484,6 +484,7 @@ class Simulation:
         chunk = self._chunk(chunk_n)
         it_e, it_k = [], []
         done = 0
+        self._last_refresh = 0
         while done < n_steps:
             n = min(chunk_n, n_steps - done)
             if n != chunk_n:
@@ -525,13 +526,19 @@ class Simulation:
         if not every or getattr(self, "_emi_hier", None) is None:
             return
         self._harvest_refresh(block=False)
-        if done >= n_steps or done % every != 0:
+        # trigger on steps elapsed since the LAST refresh, not on
+        # divisibility: the chunk size (save_every) need not divide
+        # mg_refresh_every, and `done % every` would then never hit
+        if done >= n_steps or (
+            done - getattr(self, "_last_refresh", 0) < every
+        ):
             return
         if not getattr(self.opts, "mg_refresh_async", True):
+            self._last_refresh = done
             self.refresh_mg(state)
             return
         if getattr(self, "_refresh_future", None) is not None:
-            return  # previous rebuild still running; skip this tick
+            return  # previous rebuild still running; retry next chunk
         import concurrent.futures
 
         if getattr(self, "_refresh_pool", None) is None:
@@ -543,6 +550,7 @@ class Simulation:
             else jax.device_get(state.c)
         )
         # the worker is PURE numpy/scipy (no jax): safe off-thread
+        self._last_refresh = done
         self._refresh_future = self._refresh_pool.submit(
             self._refresh_payload, c_host
         )
@@ -570,9 +578,11 @@ class Simulation:
             return
         bad = int(np.flatnonzero(~ok_steps)[0]) + offset + 1
         msg = (
-            f"Krylov solve did NOT converge at step {bad}: "
-            f"emi_ok={bool(state.emi_ok)} (res {float(state.emi_res):.3e}), "
-            f"knp_ok={bool(state.knp_ok)} (res {float(state.knp_res):.3e}). "
+            f"Krylov solve did NOT converge at step {bad}. "
+            "Residuals of the chunk's LAST step (the failing step may be "
+            f"earlier in the chunk): emi_ok={bool(state.emi_ok)} "
+            f"(res {float(state.emi_res):.3e}), knp_ok={bool(state.knp_ok)} "
+            f"(res {float(state.knp_res):.3e}). "
             "Increase maxiter, refresh the MG hierarchy, or relax rtol."
         )
         if mode == "warn":

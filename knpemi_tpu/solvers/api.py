@@ -171,6 +171,7 @@ class KNPSolver:
         restart: int = 30,
         min_iter: int = 5,
         dot: Callable = jnp.vdot,
+        bdot: Optional[Callable] = None,
         mg=None,
     ):
         self.system = system
@@ -181,6 +182,14 @@ class KNPSolver:
         self.restart = restart
         self.min_iter = min_iter
         self.dot = dot
+        # batched inner product for the ion-batched GMRES path.  Derived
+        # from `dot` only for the known compensated pair; callers passing
+        # a custom dot supply the matching batched variant explicitly.
+        if bdot is None:
+            from .precision import dot2, bdot2
+
+            bdot = bdot2 if dot is dot2 else None
+        self.bdot = bdot
         # optional {tag: DeviceMG} hierarchies (lagged, built from the
         # t=0 operator with the ions' mean D; shared across the ion scan)
         self.mg = mg or {}
@@ -269,8 +278,6 @@ class KNPSolver:
                     def M(V, mg_t=mg_t):
                         return jax.vmap(lambda r: mg_t.apply(_noA, r))(V)
 
-                from .precision import dot2, bdot2
-
                 res = gmres_batched(
                     A_hat,
                     s_eq * rhs[t],
@@ -281,7 +288,7 @@ class KNPSolver:
                     maxiter=self.maxiter,
                     restart=self.restart,
                     min_iter=self.min_iter,
-                    bdot=bdot2 if self.dot is dot2 else None,
+                    bdot=self.bdot,
                 )
                 out[t] = s_eq * res.x
                 iters = jnp.maximum(iters, res.iters)

@@ -650,7 +650,8 @@ def _csr_fill_banded(A: sp.csr_matrix, band):
     return new_windows, far_rows, far_cols, far_vals, n, m
 
 
-def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarchy:
+def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
+                      max_drop_frac: float = 1e-6) -> MGHierarchy:
     """Value-refresh of a lagged hierarchy for the CURRENT operator,
     keeping every array shape fixed so the refreshed DeviceMG can be
     swapped into a compiled step without recompilation (DeviceMG travels
@@ -661,12 +662,21 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarch
     is likewise reused across solves within a step); level operators are
     recomputed by Galerkin products A_{l+1} = P_l^T A_l P_l with the
     frozen P_l, so smoothers and coarse corrections track the current
-    coefficients.  Raises ValueError if the sparsity pattern drifted
-    (caller should fall back to a full build_hierarchy + recompile).
+    coefficients.
+
+    Pattern-drift contract: SMALL drift is tolerated — the frozen-shape
+    ELL/banded refills zero-pad entries that disappeared and drop the
+    smallest new ones (f32 kappa rounding creates/destroys exact zeros
+    in the assembled CSR; dropped values are near roundoff).  Raises
+    ValueError when the refill would discard more than ``max_drop_frac``
+    of a level's total |A| mass, or on a level-size mismatch — genuine
+    structural drift; the caller should fall back to a full
+    build_hierarchy + recompile (sim/stepper.py warns and keeps the
+    stale hierarchy).
     """
     A = A_hat_new.tocsr()
     new_levels: List[MGLevel] = []
-    for lv in hier.levels:
+    for ilev, lv in enumerate(hier.levels):
         if A.shape[0] != lv.n:
             raise ValueError("level size mismatch during refresh")
         diag = A.diagonal()
@@ -684,10 +694,28 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix) -> MGHierarch
             p_band=lv.p_band, pt_band=lv.pt_band,
             P_csr=lv.P_csr,
         )
+        total_mass = float(np.abs(A.data).sum())
         if lv.a_cols is not None:
             nl.a_cols, nl.a_vals = _csr_to_ell(A, K=lv.a_vals.shape[1])
+            kept = float(np.abs(nl.a_vals).sum())
+            if total_mass > 0 and (total_mass - kept) > max_drop_frac * total_mass:
+                raise ValueError(
+                    f"ELL refill at level {ilev} dropped "
+                    f"{(total_mass - kept) / total_mass:.2e} of |A| mass "
+                    f"(> {max_drop_frac:.0e}): sparsity pattern drifted"
+                )
         if lv.a_band is not None:
             nl.a_band = _csr_fill_banded(A, lv.a_band)
+            windows, _, _, fv, _, _ = nl.a_band
+            kept = float(
+                sum(np.abs(w[0]).sum() for w in windows) + np.abs(fv).sum()
+            )
+            if total_mass > 0 and (total_mass - kept) > max_drop_frac * total_mass:
+                raise ValueError(
+                    f"banded refill at level {ilev} dropped "
+                    f"{(total_mass - kept) / total_mass:.2e} of |A| mass "
+                    f"(> {max_drop_frac:.0e}): sparsity pattern drifted"
+                )
         new_levels.append(nl)
         A = (lv.P_csr.T @ A @ lv.P_csr).tocsr()
     lam, V = np.linalg.eigh(A.toarray())

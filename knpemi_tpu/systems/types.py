@@ -95,7 +95,11 @@ class SimState(NamedTuple):
     # solver health of the last step (the reference fails fast via
     # ksp_error_if_not_converged, pdeSolver.py:20,27,95; Simulation.run
     # checks these on the host after every chunk and raises/warns)
-    emi_ok: jnp.ndarray = jnp.asarray(True)
-    knp_ok: jnp.ndarray = jnp.asarray(True)
-    emi_res: jnp.ndarray = jnp.asarray(0.0)
-    knp_res: jnp.ndarray = jnp.asarray(0.0)
+    # plain Python defaults: evaluating jnp.asarray at class-definition
+    # time would commit device arrays at import, before the caller's
+    # dtype/x64/platform configuration is settled (construction sites
+    # that care — init_state, checkpoint load — pass explicit arrays)
+    emi_ok: jnp.ndarray = True
+    knp_ok: jnp.ndarray = True
+    emi_res: jnp.ndarray = 0.0
+    knp_res: jnp.ndarray = 0.0
