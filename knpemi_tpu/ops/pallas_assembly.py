@@ -603,6 +603,95 @@ def knp_apply_blocked(x, bk: BlockedCells, grads_lane, vols_lane, drift,
     return y
 
 
+def _make_facet_mass_kernel(k: int):
+    def _facet_kernel(x_ref, lidx_ref, wv_ref, out_ref):
+        """P1 facet (surface) mass action in MEMBRANE numbering:
+        ye[f,i] = wv_f * (sum_j x_j + x_i), wv = area/(k(k+1)) lane-tiled.
+        Same factored one-hot structure as the volume kernels; facets
+        play the role of cells."""
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x2t = x_ref[0, 0]  # (128, Wr)
+        li = lidx_ref[0, 0]  # (1, KC)
+        wv = wv_ref[0, 0]  # (1, KC)
+        Wr = x2t.shape[1]
+        KC = li.shape[1]
+        C = KC // k
+
+        E_hi, E_lo = _onehot_factored(li, Wr)
+        xe = _gather_factored(x2t, E_hi, E_lo, x2t.dtype)  # (1, KC)
+        xsum = _lane_tile(_lane_sum(xe, k, C), k)
+        ye = wv * (xsum + xe)
+        out_ref[0, 0] += _scatter_factored(ye, E_hi, E_lo, x2t.dtype)
+
+    return _facet_kernel
+
+
+def build_facet_blocking(facet_dofs, areas, n_mem, S: int = 512,
+                         max_spill: int = 31):
+    """Blocking of membrane facets over the MEMBRANE dof numbering for
+    :func:`facet_mass_blocked`.  Reuses :func:`build_blocking` with the
+    facet incidence as 'cells', facet areas as 'vols' and dummy
+    gradients (the facet mass kernel does not use them)."""
+    nf, k = facet_dofs.shape
+    dummy_grads = np.zeros((nf, k, 1), np.float32)
+    return build_blocking(
+        np.asarray(facet_dofs), dummy_grads, np.asarray(areas), n_mem,
+        S=S, max_spill=max_spill,
+    )
+
+
+def facet_mass_blocked(x_m, bk: BlockedCells, wv_lane, interpret=False):
+    """y_m = M_Gamma @ x_m in membrane numbering: the static P1 surface
+    mass matrix applied gather/scatter-free.  ``wv_lane`` is the
+    lane-tiled area/(k(k+1)) weight (= bk.vols_lane / (k(k+1))); the
+    caller applies any scalar prefactor (C_phi) to the result.
+
+    Replaces the facet-level XLA path of the EMI membrane coupling
+    (emiWeakForm.py:164-165): gathering u at facet_idofs/edofs and
+    scatter-adding duplicate-indexed values costs ~6x the random traffic
+    of this membrane-space formulation (each membrane vertex belongs to
+    ~6 surface facets)."""
+    xw = make_windows_colmajor([x_m], bk)
+    NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
+    NCH = bk.n_chunks
+    Wr = W // 128
+    out = pl.pallas_call(
+        _make_facet_mass_kernel(bk.k),
+        grid=(NB, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128, Wr), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128, Wr), lambda b, c: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, 128, Wr), x_m.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xw, jnp.asarray(bk.lidx_lane), wv_lane)
+    y = combine_windows(windows_from_colmajor(out, bk), bk)[0]
+    if len(bk.rest_cells):
+        from . import kernels as K
+
+        k = bk.k
+        rc = jnp.asarray(bk.rest_cells)
+        rv = jnp.asarray(bk.rest_vols, x_m.dtype)
+        vals = K.facet_mass_values(x_m[rc], rv)  # includes 1/(k(k+1))
+        y = y + K.scatter_add(bk.n_dofs, rc, vals)
+    return y
+
+
 def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane):
     """Per-solve EMI coefficient: (vols * mean-vertex-kappa) lane-tiled,
     plus the outlier cells' mean-kappa.  One XLA gather of kappa per

@@ -33,6 +33,7 @@ and wrapped partial sums are exact zeros.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -619,7 +620,7 @@ class ShardedSimulation:
     sharded along the dof axis (per-device memory n/N + halo);
     membrane-sized arrays (phi_M, ODE state) stay replicated."""
 
-    def __init__(self, sim, devices=None):
+    def __init__(self, sim, devices=None, distributed_mg: bool = True):
         from jax.sharding import Mesh, PartitionSpec as P
         from jax import shard_map
 
@@ -686,19 +687,118 @@ class ShardedSimulation:
                 knp_res=P(),
             )
 
+        # distributed V-cycle (parallel/sharded_mg.py): per-device slab
+        # memory n/N, neighbor-hop windows — replaces the replicated
+        # _GatheredMG (all_gather per application) when available
+        self.emi_smg = None
+        self.emi_smg_meta = None
+        self._emi_L = None
+        self.knp_smg = None
+        self.knp_smg_meta = {}
+        self._knp_L = {}
+        # the Pallas window kernel inside the sharded V-cycle (TPU only;
+        # the XLA window-gather path serves the virtual CPU mesh)
+        self._smg_pallas = (
+            getattr(sim, "_use_pallas", False)
+            and jax.devices()[0].platform == "tpu"
+        )
+        if distributed_mg and not sim.opts.direct:
+            try:
+                self._build_distributed_mg()
+            except ValueError as e:
+                from ..utils.logging import warn
+
+                warn(
+                    f"distributed V-cycle unavailable ({e}); using the "
+                    "replicated hierarchy"
+                )
+                self.emi_smg = self.knp_smg = None
+
         s0 = self.init_state()
         sspec = state_spec(s0)
+        from .sharded_mg import smg_specs
+
+        emi_smg_spec = P() if self.emi_smg is None else smg_specs(self.emi_smg)
+        knp_smg_spec = (
+            P() if self.knp_smg is None
+            else {t: smg_specs(d) for t, d in self.knp_smg.items()}
+        )
         # P() as a PREFIX spec for the whole DeviceMG subtrees (tree.map
         # over the custom pytree would misroute specs into its static aux)
-        self._step_sharded = jax.jit(
-            shard_map(
-                self._step_body,
-                mesh=self.mesh,
-                in_specs=(sspec, local_specs, mem_specs, P(), P()),
-                out_specs=sspec,
-                check_vma=False,
-            )
+        self._step_smapped = shard_map(
+            self._step_body,
+            mesh=self.mesh,
+            in_specs=(sspec, local_specs, mem_specs, P(), P(),
+                      emi_smg_spec, knp_smg_spec),
+            out_specs=sspec,
+            check_vma=False,
         )
+        self._step_sharded = jax.jit(self._step_smapped)
+        self._chunk_jit = {}
+
+    # -- distributed hierarchy construction --------------------------------
+    def _build_distributed_mg(self):
+        """Build EMI/KNP hierarchies on the PERMUTED operators whose row
+        order is the sharded local layout, then shard their banded
+        layouts by row block (parallel/sharded_mg.py docstring)."""
+        import scipy.sparse as sp
+
+        from ..solvers import direct as direct_mod
+        from ..solvers.mg import build_hierarchy_cached
+        from ..systems.coupling import set_initial_conditions
+        from .sharded_mg import (
+            local_layout_gids, permute_operator, shard_hierarchy,
+        )
+
+        sim = self.sim
+        n = self.n_dev
+        opts = sim.opts
+
+        def build(A0, gids, L256):
+            A_perm = permute_operator(A0, gids)
+            d = A_perm.diagonal()
+            d = np.where(d != 0, d, 1.0)
+            s = 1.0 / np.sqrt(np.abs(d))
+            A_hat = (sp.diags(s) @ A_perm @ sp.diags(s)).tocsr()
+            hier = build_hierarchy_cached(
+                A_hat, B=1.0 / s, theta=opts.mg_theta,
+                coarse_max=opts.mg_coarse_max, nu=opts.mg_nu, banded=True,
+                smoother=sim._smoother_for(A_hat.shape[0]),
+                degree=opts.mg_degree,
+            )
+            data, meta = shard_hierarchy(hier, n, sim.dtype)
+            data["fine_diag"] = jnp.asarray(
+                d.reshape(n, L256), sim.dtype
+            )
+            return data, meta
+
+        if opts.emi_precond == "mg":
+            c0 = set_initial_conditions(sim.geom, sim.ions, dtype=jnp.float64)
+            kappa = {
+                t: np.asarray(v) for t, v in sim.emi_sys.kappa(c0).items()
+            }
+            A0 = direct_mod.assemble_emi_csr(sim.emi_sys, kappa)
+            gids, L256, L = local_layout_gids(self.parts, self.tags, n)
+            self.emi_smg, self.emi_smg_meta = build(A0, gids, L256)
+            self._emi_L = L
+
+        from ..solvers.direct import _mass_coo, _stiffness_coo, _coo_accumulate
+
+        knp = {}
+        for t in self.tags:
+            sub = sim.geom.subdomains[t]
+            Dbar = float(np.mean([ion.D[t] for ion in sim.ions[:-1]]))
+            r1, c1, v1 = _mass_coo(sub.cells, sub.vols, 1.0 / sim.params.dt)
+            r2, c2, v2 = _stiffness_coo(sub.cells, sub.grads, sub.vols,
+                                        coef_cell=Dbar)
+            A0 = _coo_accumulate([r1, r2], [c1, c2], [v1, v2], sub.n_dofs)
+            gids, L256, L = local_layout_gids(
+                {t: self.parts[t]}, [t], n
+            )
+            knp[t] = build(A0, gids, L256)
+            self._knp_L[t] = L
+        self.knp_smg = {t: d for t, (d, m) in knp.items()}
+        self.knp_smg_meta = {t: m for t, (d, m) in knp.items()}
 
     # -- state layout ------------------------------------------------------
     def init_state(self):
@@ -728,7 +828,8 @@ class ShardedSimulation:
         return s._replace(c=c, phi=phi)
 
     # -- the sharded step ---------------------------------------------------
-    def _step_body(self, state, local_arrays, mem_arrays, emi_mg, knp_mg):
+    def _step_body(self, state, local_arrays, mem_arrays, emi_mg, knp_mg,
+                   emi_smg, knp_smg):
         from ..solvers.api import EMISolver, KNPSolver
         from ..systems.coupling import eliminated_concentration
         from knpemi_tpu.systems.types import SimState
@@ -752,7 +853,16 @@ class ShardedSimulation:
         layout = make_layout(self.parts, self.tags, n)
         to_g, to_l = layout[0], layout[1]
         emi_mg_w = None
-        if emi_mg is not None:
+        if emi_smg is not None:
+            from .sharded_mg import ShardedMG, squeeze_smg
+
+            dsq = squeeze_smg(emi_smg)
+            emi_mg_w = ShardedMG(
+                dsq, self.emi_smg_meta, n,
+                fine_diag=dsq["fine_diag"][: self._emi_L],
+                solver_len=self._emi_L, use_pallas=self._smg_pallas,
+            )
+        elif emi_mg is not None:
             fd = getattr(emi_mg, "fine_diag", None)
             fd_loc = None if fd is None else to_l(fd)
             if fd_loc is not None:
@@ -763,17 +873,28 @@ class ShardedSimulation:
                 fd_loc = fd_loc * mask + (1.0 - mask)
             emi_mg_w = _GatheredMG(emi_mg, (to_g, to_l), fd_loc)
         knp_mg_w = {}
-        for t in self.tags:
-            mg_t = (knp_mg or {}).get(t)
-            if mg_t is None:
-                continue
-            tg, tl = make_tag_layout(self.parts[t], n)
-            fd = getattr(mg_t, "fine_diag", None)
-            fd_loc = None if fd is None else tl(fd)
-            if fd_loc is not None:
-                mask = ksys.owned_mask(t)
-                fd_loc = fd_loc * mask + (1.0 - mask)
-            knp_mg_w[t] = _GatheredMG(mg_t, (tg, tl), fd_loc)
+        if knp_smg is not None:
+            from .sharded_mg import ShardedMG, squeeze_smg
+
+            for t, smg_t in knp_smg.items():
+                dsq = squeeze_smg(smg_t)
+                knp_mg_w[t] = ShardedMG(
+                    dsq, self.knp_smg_meta[t], n,
+                    fine_diag=dsq["fine_diag"][: self._knp_L[t]],
+                    solver_len=self._knp_L[t], use_pallas=self._smg_pallas,
+                )
+        else:
+            for t in self.tags:
+                mg_t = (knp_mg or {}).get(t)
+                if mg_t is None:
+                    continue
+                tg, tl = make_tag_layout(self.parts[t], n)
+                fd = getattr(mg_t, "fine_diag", None)
+                fd_loc = None if fd is None else tl(fd)
+                if fd_loc is not None:
+                    mask = ksys.owned_mask(t)
+                    fd_loc = fd_loc * mask + (1.0 - mask)
+                knp_mg_w[t] = _GatheredMG(mg_t, (tg, tl), fd_loc)
 
         comp = sim.opts.compensated_dots
         if comp is None:
@@ -890,18 +1011,76 @@ class ShardedSimulation:
         }
 
     # -- public API ----------------------------------------------------------
+    def _mg_args(self):
+        """(emi_mg, knp_mg, emi_smg, knp_smg): the replicated hierarchies
+        are not shipped when the distributed ones are active."""
+        emi_mg = None if self.emi_smg is not None else self.sim.emi_solver.mg
+        knp_mg = None if self.knp_smg is not None else self.sim.knp_solver.mg
+        return emi_mg, knp_mg, self.emi_smg, self.knp_smg
+
     def step(self, state):
         return self._step_sharded(
-            state, self.local_arrays, self.mem_arrays,
-            self.sim.emi_solver.mg, self.sim.knp_solver.mg,
+            state, self.local_arrays, self.mem_arrays, *self._mg_args()
         )
 
-    def run(self, state, n_steps, observer=None, save_every=None):
+    def _chunk(self, n: int):
+        """Jitted scan over n sharded steps (mirrors Simulation._chunk):
+        the MG hierarchies travel as jit ARGUMENTS, and the host syncs
+        once per chunk instead of once per step (each device->host pull
+        costs a full tunnel roundtrip, ~100 ms on the remote-TPU setup —
+        the per-step ``int(state.emi_iters)`` loop reintroduced exactly
+        the pathology Simulation.run had already eliminated)."""
+        if n not in self._chunk_jit:
+
+            def chunk(s, la, ma, emi_mg, knp_mg, emi_smg, knp_smg):
+                def body(ss, _):
+                    s2 = self._step_smapped(ss, la, ma, emi_mg, knp_mg,
+                                            emi_smg, knp_smg)
+                    return s2, (s2.emi_iters, s2.knp_iters,
+                                s2.emi_ok & s2.knp_ok)
+
+                return jax.lax.scan(body, s, None, length=n)
+
+            self._chunk_jit[n] = jax.jit(chunk)
+        jitted = self._chunk_jit[n]
+        return lambda s: jitted(
+            s, self.local_arrays, self.mem_arrays, *self._mg_args()
+        )
+
+    def run(self, state, n_steps, observer=None, save_every=None,
+            verbose: bool = False):
+        """Advance n_steps in scan chunks with fail-fast health checks
+        (reference parity: ksp_error_if_not_converged) — the sharded
+        analog of Simulation.run."""
+        chunk_n = save_every or n_steps
+        chunk = self._chunk(chunk_n)
         it_e, it_k = [], []
-        for k in range(n_steps):
-            state = self.step(state)
-            it_e.append(int(state.emi_iters))
-            it_k.append(int(state.knp_iters))
-            if observer and save_every and (k + 1) % save_every == 0:
-                observer(self.unpad_state(state))
-        return state, np.array(it_e), np.array(it_k)
+        done = 0
+        while done < n_steps:
+            n = min(chunk_n, n_steps - done)
+            if n != chunk_n:
+                chunk = self._chunk(n)
+            t0 = time.perf_counter()
+            state, (ce, ck, ok) = chunk(state)
+            if observer is not None:
+                host_state, ce, ck, ok = jax.device_get(
+                    (self.unpad_state(state), ce, ck, ok)
+                )
+            else:
+                host_state = None
+                ce, ck, ok = jax.device_get((ce, ck, ok))
+            if verbose:
+                dt_wall = time.perf_counter() - t0
+                print(
+                    f"  steps {done + 1}..{done + n}: "
+                    f"{dt_wall / n * 1e3:.2f} ms/step, "
+                    f"emi_it={int(ce[-1])} knp_it={int(ck[-1])}"
+                )
+            it_e.append(np.asarray(ce))
+            it_k.append(np.asarray(ck))
+            done += n
+            # Simulation's fail-fast check (raise/warn per opts)
+            self.sim._check_health(state, np.asarray(ok), done - n)
+            if observer:
+                observer(host_state)
+        return state, np.concatenate(it_e), np.concatenate(it_k)

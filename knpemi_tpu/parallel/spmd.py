@@ -98,18 +98,23 @@ class SpmdSimulation:
             lambda x: P(AXIS, *([None] * (x.ndim - 1))),
             (self.sub_arrays, self.mem_arrays),
         )
-        self._step_sharded = jax.jit(
-            shard_map(
-                self._step_body,
-                mesh=self.mesh,
-                in_specs=(P(), geom_specs[0], geom_specs[1]),
-                out_specs=P(),
-                check_vma=False,
-            )
+        # MG hierarchies enter as shard_map ARGUMENTS (replicated), never
+        # as closure constants: the banded slabs would otherwise embed as
+        # HLO constants and blow the bounded remote-compile payload
+        # (matching parallel/sharded.py)
+        self._step_smapped = shard_map(
+            self._step_body,
+            mesh=self.mesh,
+            in_specs=(P(), geom_specs[0], geom_specs[1], P(), P()),
+            out_specs=P(),
+            check_vma=False,
         )
+        self._step_sharded = jax.jit(self._step_smapped)
+        self._chunk_jit = {}
 
     # ------------------------------------------------------------------
-    def _step_body(self, state: SimState, sub_arrays, mem_arrays) -> SimState:
+    def _step_body(self, state: SimState, sub_arrays, mem_arrays,
+                   emi_mg, knp_mg) -> SimState:
         sim = self.sim
         p = sim.params
         dt = p.dt
@@ -121,12 +126,12 @@ class SpmdSimulation:
         ksys = sim.knp_sys.local_view(sub_arrays, mem_arrays, psum)
         emi_solver = EMISolver(
             esys, rtol=sim.opts.rtol_emi, atol=sim.opts.atol_emi,
-            maxiter=sim.opts.maxiter, mg=sim.emi_solver.mg,
+            maxiter=sim.opts.maxiter, mg=emi_mg,
         )
         knp_solver = KNPSolver(
             ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,
             maxiter=sim.opts.maxiter, restart=sim.opts.restart,
-            mg=sim.knp_solver.mg,
+            mg=knp_mg,
         )
 
         # [1] membrane ODEs: shard the dof rows over the mesh axis
@@ -187,14 +192,61 @@ class SpmdSimulation:
         return self.sim.init_state()
 
     def step(self, state: SimState) -> SimState:
-        return self._step_sharded(state, self.sub_arrays, self.mem_arrays)
+        return self._step_sharded(
+            state, self.sub_arrays, self.mem_arrays,
+            self.sim.emi_solver.mg, self.sim.knp_solver.mg,
+        )
 
-    def run(self, state, n_steps, observer=None, save_every=None):
+    def _chunk(self, n: int):
+        """Jitted scan over n sharded steps; one host sync per chunk
+        (mirrors Simulation._chunk / ShardedSimulation._chunk)."""
+        if n not in self._chunk_jit:
+
+            def chunk(s, sa, ma, emi_mg, knp_mg):
+                def body(ss, _):
+                    s2 = self._step_smapped(ss, sa, ma, emi_mg, knp_mg)
+                    return s2, (s2.emi_iters, s2.knp_iters,
+                                s2.emi_ok & s2.knp_ok)
+
+                return jax.lax.scan(body, s, None, length=n)
+
+            self._chunk_jit[n] = jax.jit(chunk)
+        jitted = self._chunk_jit[n]
+        return lambda s: jitted(
+            s, self.sub_arrays, self.mem_arrays,
+            self.sim.emi_solver.mg, self.sim.knp_solver.mg,
+        )
+
+    def run(self, state, n_steps, observer=None, save_every=None,
+            verbose: bool = False):
+        import time as _time
+
+        chunk_n = save_every or n_steps
+        chunk = self._chunk(chunk_n)
         it_e, it_k = [], []
-        for k in range(n_steps):
-            state = self.step(state)
-            it_e.append(int(state.emi_iters))
-            it_k.append(int(state.knp_iters))
-            if observer and save_every and (k + 1) % save_every == 0:
-                observer(state)
-        return state, np.array(it_e), np.array(it_k)
+        done = 0
+        while done < n_steps:
+            n = min(chunk_n, n_steps - done)
+            if n != chunk_n:
+                chunk = self._chunk(n)
+            t0 = _time.perf_counter()
+            state, (ce, ck, ok) = chunk(state)
+            if observer is not None:
+                host_state, ce, ck, ok = jax.device_get((state, ce, ck, ok))
+            else:
+                host_state = None
+                ce, ck, ok = jax.device_get((ce, ck, ok))
+            if verbose:
+                dt_wall = _time.perf_counter() - t0
+                print(
+                    f"  steps {done + 1}..{done + n}: "
+                    f"{dt_wall / n * 1e3:.2f} ms/step, "
+                    f"emi_it={int(ce[-1])} knp_it={int(ck[-1])}"
+                )
+            it_e.append(np.asarray(ce))
+            it_k.append(np.asarray(ck))
+            done += n
+            self.sim._check_health(state, np.asarray(ok), done - n)
+            if observer:
+                observer(host_state)
+        return state, np.concatenate(it_e), np.concatenate(it_k)

@@ -207,11 +207,11 @@ class Simulation:
     def _setup_emi_mg(self):
         """Build the lagged EMI multigrid hierarchy from the initial
         conductivity (host, once; see solvers/mg.py docstring)."""
-        from ..solvers.mg import build_hierarchy
+        from ..solvers.mg import build_hierarchy_cached
 
         c0 = set_initial_conditions(self.geom, self.ions, dtype=jnp.float64)
         A_hat, s = self._emi_Ahat(c0)
-        hier = build_hierarchy(
+        hier = build_hierarchy_cached(
             A_hat,
             B=1.0 / s,
             theta=self.opts.mg_theta,
@@ -302,7 +302,7 @@ class Simulation:
         hierarchy per tag serves every ion in the scan."""
         import scipy.sparse as sp
         from ..solvers import direct as direct_mod
-        from ..solvers.mg import build_hierarchy
+        from ..solvers.mg import build_hierarchy_cached
 
         mg = {}
         for t in self.knp_sys.tags:
@@ -319,7 +319,7 @@ class Simulation:
             d = np.where(d != 0, d, 1.0)
             s_ = 1.0 / np.sqrt(np.abs(d))
             A_hat = (sp.diags(s_) @ A0 @ sp.diags(s_)).tocsr()
-            hier = build_hierarchy(
+            hier = build_hierarchy_cached(
                 A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
                 banded=self._mg_banded,

@@ -119,8 +119,11 @@ def _tentative_prolongator(agg: np.ndarray, nc: int, B: np.ndarray):
     the W-cycle (MGHierarchy.gamma), not a coarse-space one.
     """
     n, m = B.shape
-    order = np.argsort(agg, kind="stable")
-    counts = np.bincount(agg, minlength=nc)
+    # agg == -1 marks rows excluded from the coarse space (isolated
+    # rows, see build_hierarchy): their P rows stay identically zero
+    valid = np.flatnonzero(agg >= 0)
+    order = valid[np.argsort(agg[valid], kind="stable")]
+    counts = np.bincount(agg[valid], minlength=nc)
     starts = np.zeros(nc + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     rows = []
@@ -447,6 +450,69 @@ class MGHierarchy:
         )
 
 
+# cache-key version of the hierarchy builder: bump whenever
+# build_hierarchy's ALGORITHM changes so stale cached hierarchies are
+# never loaded (v2: isolated-row dropping)
+_BUILD_VERSION = "v2"
+
+
+def build_hierarchy_cached(
+    A0: sp.csr_matrix,
+    B: Optional[np.ndarray] = None,
+    cache_dir: Optional[str] = None,
+    **kw,
+) -> MGHierarchy:
+    """Disk-cached :func:`build_hierarchy`, keyed by the operator's exact
+    CSR content, the near-null vector and every build parameter.
+
+    The setup cost at 3-D res 2 (blocking scans + Galerkin RAP sweeps)
+    is tens of seconds per invocation; the reference amortizes hypre's
+    setup across a long-lived MPI job, so repeated bench/driver runs
+    here should amortize through this cache instead.  Default location
+    ``<repo>/.mg_cache`` (gitignored); override with the
+    ``KNPEMI_MG_CACHE`` env var, set it to the empty string to disable."""
+    import hashlib
+    import os
+    import pickle
+
+    if cache_dir is None:
+        default = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".mg_cache",
+        )
+        cache_dir = os.environ.get("KNPEMI_MG_CACHE", default)
+    if not cache_dir:
+        return build_hierarchy(A0, B=B, **kw)
+    A = A0.tocsr()
+    h = hashlib.sha256()
+    h.update(_BUILD_VERSION.encode())  # bump on builder algorithm changes
+    h.update(np.asarray(A.shape, np.int64).tobytes())
+    h.update(A.indptr.tobytes())
+    h.update(A.indices.tobytes())
+    h.update(np.ascontiguousarray(A.data, np.float64).tobytes())
+    if B is not None:
+        h.update(np.ascontiguousarray(B, np.float64).tobytes())
+    h.update(repr(sorted(kw.items())).encode())
+    path = os.path.join(cache_dir, h.hexdigest()[:32] + ".pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # corrupt/stale cache entry: rebuild below
+    hier = build_hierarchy(A, B=B, **kw)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(hier, f, protocol=4)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # caching is best-effort
+    return hier
+
+
 def build_hierarchy(
     A0: sp.csr_matrix,
     B: Optional[np.ndarray] = None,
@@ -508,16 +574,34 @@ def build_hierarchy(
             agg = np.repeat(agg_nodes, node_size)
             # dof-level filtered matrix for P smoothing (B-compatible)
             Af = strength_filter(A, theta, B=B[:, 0])
+        # drop ISOLATED (diagonal-only) rows from the coarse space: their
+        # error is handled by the smoother alone (standard SA practice
+        # for Dirichlet-eliminated dofs), and keeping them as singleton
+        # aggregates would carry them through every coarse level — the
+        # sharded permuted-layout operators (parallel/sharded_mg.py)
+        # carry O(N * R) identity padding rows that would otherwise stall
+        # coarsening entirely.  Isolated rows have no strength-graph
+        # neighbors, so their aggregates are always pure singletons.
+        nnz_row = np.diff(A.indptr)
+        iso = nnz_row <= 1
+        if iso.any():
+            keep_agg = np.ones(nc, bool)
+            keep_agg[agg[iso]] = False
+            remap = np.full(nc, -1, np.int64)
+            remap[keep_agg] = np.arange(int(keep_agg.sum()))
+            agg = np.where(iso, -1, remap[agg])
+            nc = int(keep_agg.sum())
         # relabel aggregates by their minimum fine index: fine dofs are
         # Morton-ordered, so this keeps coarse levels locality-ordered
         # too — without it the level-1 banded windows balloon ~4x
         # (measured 893 MB at 3-D res 2) because Vanek emits aggregates
         # in sweep order, not spatial order
+        valid = agg >= 0
         first = np.full(nc, n, np.int64)
-        np.minimum.at(first, agg, np.arange(n))
+        np.minimum.at(first, agg[valid], np.flatnonzero(valid))
         ranks = np.empty(nc, np.int64)
         ranks[np.argsort(first, kind="stable")] = np.arange(nc)
-        agg = ranks[agg]
+        agg = np.where(valid, ranks[np.maximum(agg, 0)], -1)
         Pt, B = _tentative_prolongator(agg, nc, B)
         lam_f = _lam_max_jacobi(Af)
         df = Af.diagonal()

@@ -136,6 +136,7 @@ class EMISystem:
             pallas_interpret or _jax.devices()[0].platform != "tpu"
         )
         self.blocked = {}
+        self.mem_blocked = {}
         if use_pallas:
             from ..ops import pallas_assembly as PA
 
@@ -154,6 +155,30 @@ class EMISystem:
                     cells=jnp.asarray(bk.cells_chunk),
                 )
             self.use_pallas = ok
+            if ok:
+                # membrane coupling in MEMBRANE-dof space: u_M = R_i x_i
+                # - R_e x_e (one 2*n_mem gather), M_Gamma applied by the
+                # blocked facet kernel, one 2*n_mem scatter back — vs the
+                # facet-level path's ~6x duplicate-indexed random traffic
+                for m, sp_ in geom.membranes.items():
+                    bkm = PA.build_facet_blocking(
+                        sp_.facet_dofs, sp_.areas, sp_.n_dofs
+                    )
+                    if bkm is None:
+                        continue
+                    kf = sp_.facet_dofs.shape[1]
+                    flat_idx = np.concatenate([
+                        self.offsets[0] + sp_.mem_to_ecs,
+                        self.offsets[sp_.cell_tag] + sp_.mem_to_ics,
+                    ]).astype(np.int32)
+                    self.mem_blocked[m] = dict(
+                        bk=bkm,
+                        wv=jnp.asarray(
+                            bkm.vols_lane / (kf * (kf + 1)), dtype=dtype
+                        ),
+                        flat_idx=jnp.asarray(flat_idx),
+                        n_mem=sp_.n_dofs,
+                    )
 
     # ------------------------------------------------------------------
     def local_view(self, sub, mem, reduce):
@@ -237,14 +262,30 @@ class EMISystem:
                     coef_vertex=kappa[t],
                 )
         C_phi = self.params.C_phi
+        deferred = []
         for m, sp in self.mem.items():
+            if self.use_pallas and m in self.mem_blocked:
+                deferred.append(m)  # handled on the flat vector below
+                continue
             ct = sp["cell_tag"]
             u_i = xs[ct][sp["facet_idofs"]]
             u_e = xs[0][sp["facet_edofs"]]
             vals = K.facet_mass_values(u_i - u_e, sp["areas"], C_phi)
             ys[ct] = ys[ct].at[sp["facet_idofs"].reshape(-1)].add(vals.reshape(-1))
             ys[0] = ys[0].at[sp["facet_edofs"].reshape(-1)].add(-vals.reshape(-1))
-        return self.reduce(self.flatten(ys))
+        y = self.flatten(ys)
+        for m in deferred:
+            from ..ops import pallas_assembly as PA
+
+            mb = self.mem_blocked[m]
+            n_m = mb["n_mem"]
+            u2 = x[mb["flat_idx"]]  # [R_e x | R_i x]
+            w = C_phi * PA.facet_mass_blocked(
+                u2[n_m:] - u2[:n_m], mb["bk"], mb["wv"],
+                interpret=self.pallas_interpret,
+            )
+            y = y.at[mb["flat_idx"]].add(jnp.concatenate([-w, w]))
+        return self.reduce(y)
 
     def matvec(self, x: jnp.ndarray, ctx):
         """Operator with symmetric Dirichlet elimination: identity on bc
@@ -320,12 +361,16 @@ class EMISystem:
                 )
             rs[t] = r
 
+        mem_flat = []
         if self.mms is None:
             for m, sp in self.mem.items():
                 ct = sp["cell_tag"]
                 g = phi_M[m]
                 if not self.splitting_scheme:
                     g = g - (1.0 / C_phi) * I_ch[m].sum(axis=0)
+                if self.use_pallas and m in self.mem_blocked:
+                    mem_flat.append((m, g))  # flat-level add below
+                    continue
                 gf = g[sp["facet_dofs"]]
                 vals = K.facet_mass_values(gf, sp["areas"], C_phi)
                 rs[ct] = rs[ct].at[sp["facet_idofs"].reshape(-1)].add(vals.reshape(-1))
@@ -369,7 +414,16 @@ class EMISystem:
                     fw,
                 )
 
-        b = self.reduce(self.flatten(rs))
+        b = self.flatten(rs)
+        for m, g in mem_flat:
+            from ..ops import pallas_assembly as PA
+
+            mb = self.mem_blocked[m]
+            w = C_phi * PA.facet_mass_blocked(
+                g, mb["bk"], mb["wv"], interpret=self.pallas_interpret
+            )
+            b = b.at[mb["flat_idx"]].add(jnp.concatenate([-w, w]))
+        b = self.reduce(b)
         if self.has_bc:
             # symmetric elimination: b_free -= A @ x_bc ; b_bc = g
             kap = self.kappa(c)

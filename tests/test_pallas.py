@@ -17,7 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples" / "ideal
 from knpemi_tpu.mesh import unit_square_mms_mesh, idealized_3d_mesh
 from knpemi_tpu.ops.geometry import build_geometry
 from knpemi_tpu.ops.pallas_assembly import (
-    build_blocking, emi_stiffness_blocked, knp_apply_blocked,
+    build_blocking, build_facet_blocking, emi_stiffness_blocked,
+    facet_mass_blocked, knp_apply_blocked,
     prepare_emi_weight, prepare_knp_drift,
 )
 from knpemi_tpu.ops import kernels as K
@@ -42,6 +43,29 @@ def test_blocked_kernels_match_xla(make):
             jnp.asarray(sub.grads, jnp.float32),
             jnp.asarray(sub.vols, jnp.float32), coef_vertex=kap,
         )
+        scale = float(jnp.abs(yref).max())
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yref),
+                                   atol=5e-6 * scale)
+
+
+@pytest.mark.parametrize("make", [lambda: unit_square_mms_mesh(12),
+                                  lambda: idealized_3d_mesh(0, l=1)])
+def test_facet_mass_blocked_matches_xla(make):
+    """Membrane-space surface-mass kernel vs the facet-level XLA path
+    (the EMI membrane coupling, emiWeakForm.py:164-165)."""
+    geom = build_geometry(make())
+    for m, sp in geom.membranes.items():
+        bkm = build_facet_blocking(sp.facet_dofs, sp.areas, sp.n_dofs)
+        assert bkm is not None
+        rng = np.random.default_rng(m)
+        g = jnp.asarray(rng.standard_normal(sp.n_dofs), jnp.float32)
+        kf = sp.facet_dofs.shape[1]
+        wv = jnp.asarray(bkm.vols_lane / (kf * (kf + 1)), jnp.float32)
+        y = facet_mass_blocked(g, bkm, wv, interpret=True)
+        vals = K.facet_mass_values(
+            g[jnp.asarray(sp.facet_dofs)], jnp.asarray(sp.areas, jnp.float32)
+        )
+        yref = K.scatter_add(sp.n_dofs, jnp.asarray(sp.facet_dofs), vals)
         scale = float(jnp.abs(yref).max())
         np.testing.assert_allclose(np.asarray(y), np.asarray(yref),
                                    atol=5e-6 * scale)

@@ -24,7 +24,13 @@ from knpemi_tpu.parallel.sharded import ShardedSimulation  # noqa: E402
 @pytest.fixture(scope="module")
 def sims():
     sim = build_simulation(resolution=1)
-    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+    # distributed_mg=False: with the REPLICATED hierarchy both paths run
+    # bitwise-identical preconditioned iterations, so single-vs-sharded
+    # equality is asserted at 1e-8 (the distributed V-cycle is a
+    # different — permuted-operator — hierarchy and is covered at solver
+    # tolerance by test_sharded_distributed_mg)
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8],
+                           distributed_mg=False)
     return sim, sh
 
 
@@ -107,7 +113,8 @@ def test_sharded_matches_single_device_with_sources():
     bench_driver = _load_driver("benchmark")
 
     sim = bench_driver.build_simulation(resolution=0)
-    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8],
+                           distributed_mg=False)
 
     s0 = sim.init_state()
     s1 = s0
@@ -147,7 +154,8 @@ def test_sharded_three_subdomains():
         / "examples" / "astrocyte" / "config_files" / "baseline.yml"
     )
     sim = astro_driver.build_simulation(cfg)
-    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8],
+                           distributed_mg=False)
 
     s1 = sim.step(sim.init_state())
     p1 = sh.unpad_state(sh.step(sh.init_state()))
@@ -161,3 +169,49 @@ def test_sharded_three_subdomains():
             np.asarray(p1.phi_M[m]), np.asarray(s1.phi_M[m]),
             rtol=1e-8, atol=1e-10,
         )
+
+
+def test_sharded_distributed_mg():
+    """Distributed V-cycle (parallel/sharded_mg.py): the permuted-
+    operator hierarchy sharded by row block must (a) exist — every level
+    banded, per-device slab memory 1/N of the total — and (b) drive the
+    sharded step to the same converged solution as the single-device
+    step, at solver tolerance (the preconditioned ITERATES differ: the
+    hierarchy row order, and hence the aggregation, is different)."""
+    sim = build_simulation(resolution=1)
+    sh = ShardedSimulation(sim, devices=jax.devices()[:8])
+    assert sh.emi_smg is not None, "distributed EMI hierarchy not built"
+    assert sh.knp_smg is not None
+
+    # per-device slab shards: leading device axis, so each device holds
+    # 1/N of every level's slab memory (the replicated _GatheredMG held
+    # the WHOLE hierarchy per device)
+    for lvl in sh.emi_smg["levels"]:
+        for win in lvl["wins"]:
+            assert win["slabT"].shape[0] == 8  # device axis
+
+    # window halos stay neighbor-hop (not all-gather) on the FINE level —
+    # tiny coarse levels legitimately span most devices (a few hundred
+    # rows per device) and cost nothing
+    for wm in sh.emi_smg_meta.levels[0].wins:
+        assert wm.hop_lo + wm.hop_hi < 8
+
+    s1 = sim.step(sim.init_state())
+    p1 = sh.unpad_state(sh.step(sh.init_state()))
+
+    for m in s1.phi_M:
+        np.testing.assert_allclose(
+            np.asarray(p1.phi_M[m]), np.asarray(s1.phi_M[m]), atol=5e-6
+        )
+    for t in s1.c:
+        np.testing.assert_allclose(
+            np.asarray(p1.c[t]), np.asarray(s1.c[t]), rtol=1e-4
+        )
+    # the distributed preconditioner must be a working AMG: a handful of
+    # Krylov iterations, not the ~hundreds of plain Jacobi.  (No direct
+    # comparison with the single-device count: at this test size the
+    # single-device path uses an EXACT dense coarse solve — 439 dofs is
+    # below coarse_max — while the padded permuted hierarchy runs a true
+    # smoother+coarse V-cycle.)
+    assert int(p1.emi_iters) <= 30
+    assert int(p1.knp_iters) <= 30
