@@ -47,6 +47,39 @@ def test_timeseries_writer(tmp_path):
     assert (tmp_path / "out.xdmf").exists()
 
 
+def test_timeseries_reader_point_evaluation(tmp_path):
+    """Post-hoc probing parity (reference make_figures.py:54-62:
+    read_function + scifem.evaluate_function at arbitrary points): write
+    a series of LINEAR fields, reopen it, and point-evaluate anywhere —
+    P1 interpolation of a linear function is exact, including at points
+    never registered as probes during the 'run'."""
+    from knpemi_tpu.io import TimeSeriesReader
+
+    mesh = unit_square_mms_mesh(8)
+    w = TimeSeriesWriter(tmp_path / "out.xdmf", mesh.points, mesh.cells)
+    for i in range(4):
+        f = (1.0 + i) * mesh.points[:, 0] + 2.0 * mesh.points[:, 1] + i
+        w.write(0.5 * i, {"phi": f, "c_K": 3.0 * f})
+    w.close()
+
+    with TimeSeriesReader(tmp_path / "out.xdmf") as r:
+        assert r.fields == ["c_K", "phi"]
+        np.testing.assert_allclose(r.times, [0.0, 0.5, 1.0, 1.5])
+        pts = np.array([[0.33, 0.41], [0.05, 0.93], [0.5, 0.5]])
+        tr = r.evaluate("phi", pts)  # (n_times, n_pts)
+        for i in range(4):
+            exact = (1.0 + i) * pts[:, 0] + 2.0 * pts[:, 1] + i
+            np.testing.assert_allclose(tr[i], exact, rtol=1e-12)
+        # single-step + nearest-time read
+        np.testing.assert_allclose(
+            r.evaluate("c_K", pts, step=2),
+            3.0 * (3.0 * pts[:, 0] + 2.0 * pts[:, 1] + 2.0), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            r.read("phi", time=0.49), r.read("phi", step=1)
+        )
+
+
 def test_checkpoint_resume_bitexact(tmp_path):
     from run_2d import build_simulation
 
