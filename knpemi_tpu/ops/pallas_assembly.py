@@ -692,6 +692,108 @@ def facet_mass_blocked(x_m, bk: BlockedCells, wv_lane, interpret=False):
     return y
 
 
+def _make_facet_gather_kernel(F: int):
+    def _kern(x_ref, lidx_ref, out_ref):
+        """Gather F membrane-space fields at the facet slots of one chunk:
+        (F, 128, Wr) column-layout windows -> (F, KC) slot values."""
+        x3 = x_ref[0]  # (F, 128, Wr)
+        li = lidx_ref[0, 0]  # (1, KC)
+        Wr = x3.shape[2]
+        E_hi, E_lo = _onehot_factored(li, Wr)
+        rows = [
+            _gather_factored(x3[f], E_hi, E_lo, x3.dtype) for f in range(F)
+        ]
+        out_ref[0, 0] = jnp.concatenate(rows, axis=0)
+
+    return _kern
+
+
+def _make_facet_scatter_kernel(F: int):
+    def _kern(v_ref, lidx_ref, out_ref):
+        """Scatter-add F channels of per-slot values (F, KC) back into
+        membrane-space windows (F, 128, Wr), accumulated over chunks."""
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        vals = v_ref[0, 0]  # (F, KC)
+        li = lidx_ref[0, 0]
+        Wr = out_ref.shape[3]
+        E_hi, E_lo = _onehot_factored(li, Wr)
+        for f in range(F):
+            out_ref[0, f] += _scatter_factored(
+                vals[f : f + 1], E_hi, E_lo, vals.dtype
+            )
+
+    return _kern
+
+
+def facet_gather_blocked(X, bk: BlockedCells, interpret=False):
+    """Gather F membrane-space fields X (F, n_mem) to facet-local slot
+    values in the blocked layout: (NB, NCH, F, KC), lane j*C + c =
+    (facet c, vertex slot j).  Padding slots carry the value of dof 0;
+    callers must weight by the (zero-padded) facet areas.
+
+    With :func:`facet_scatter_blocked` this turns arbitrary nonlinear
+    facet-quadrature assembly into dense XLA math between two one-hot
+    kernels — no random-index memory traffic (the XLA path's x[facet_dofs]
+    gathers cost ~6x the membrane size per field because each membrane
+    vertex belongs to ~6 surface facets)."""
+    F = X.shape[0]
+    xw = make_windows_colmajor(list(X), bk)  # (NB, F, 128, Wr)
+    NB, W, KC = bk.n_blocks, bk.W, bk.k * bk.C
+    NCH = bk.n_chunks
+    Wr = W // 128
+    return pl.pallas_call(
+        _make_facet_gather_kernel(F),
+        grid=(NB, NCH),
+        in_specs=[
+            pl.BlockSpec((1, F, 128, Wr), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, F, KC), lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, NCH, F, KC), X.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xw, jnp.asarray(bk.lidx_lane))
+
+
+def facet_scatter_blocked(V, bk: BlockedCells, interpret=False):
+    """Scatter-add blocked per-slot values V (NB, NCH, F, KC) back to
+    membrane space: returns (F, n_mem).  Inverse of
+    :func:`facet_gather_blocked` (padding slots must hold zeros)."""
+    NB, NCH, F, KC = V.shape
+    W = bk.W
+    Wr = W // 128
+    out = pl.pallas_call(
+        _make_facet_scatter_kernel(F),
+        grid=(NB, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, F, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KC), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F, 128, Wr), lambda b, c: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, F, 128, Wr), V.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(V, jnp.asarray(bk.lidx_lane))
+    return combine_windows(windows_from_colmajor(out, bk), bk)
+
+
 def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane):
     """Per-solve EMI coefficient: (vols * mean-vertex-kappa) lane-tiled,
     plus the outlier cells' mean-kappa.  One XLA gather of kappa per

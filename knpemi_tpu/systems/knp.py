@@ -110,6 +110,8 @@ class KNPSystem:
                 facet_edofs=jnp.asarray(sp.facet_edofs),
                 facet_idofs=jnp.asarray(sp.facet_idofs),
                 areas=jnp.asarray(sp.areas, dtype=dtype),
+                mem_to_ecs=jnp.asarray(sp.mem_to_ecs),
+                mem_to_ics=jnp.asarray(sp.mem_to_ics),
                 cell_tag=sp.cell_tag,
             )
             for m, sp in geom.membranes.items()
@@ -153,6 +155,7 @@ class KNPSystem:
             pallas_interpret or jax.devices()[0].platform != "tpu"
         )
         self.blocked = {}
+        self.mem_blocked = {}
         if use_pallas:
             from ..ops import pallas_assembly as PA
 
@@ -168,6 +171,24 @@ class KNPSystem:
                     vols=jnp.asarray(bk.vols_lane, dtype=dtype),
                 )
             self.use_pallas = ok
+            if ok:
+                # membrane Robin RHS in MEMBRANE-dof space: the facet
+                # quadrature becomes dense math between one blocked
+                # gather and one blocked scatter (see rhs())
+                for m, sp_ in geom.membranes.items():
+                    bkm = PA.build_facet_blocking(
+                        sp_.facet_dofs, sp_.areas, sp_.n_dofs
+                    )
+                    if bkm is None:
+                        continue
+                    NBm, NCHm = bkm.n_blocks, bkm.n_chunks
+                    area_mc = np.asarray(bkm.vols_lane).reshape(
+                        NBm, NCHm, bkm.k, bkm.C
+                    )[:, :, 0, :].reshape(NBm * NCHm, bkm.C)
+                    self.mem_blocked[m] = dict(
+                        bk=bkm,
+                        areas=jnp.asarray(area_mc, dtype=dtype),
+                    )
 
     # ------------------------------------------------------------------
     def gradphi_cells(self, phi: Dict[int, jnp.ndarray]) -> Dict[int, jnp.ndarray]:
@@ -298,6 +319,104 @@ class KNPSystem:
             + z * psi * D * self.reduce(dd[None, :])
 
     # ------------------------------------------------------------------
+    def _robin_facet_values(self, ct, Xloc, areas, fbj, fwj):
+        """Per-slot assembled values of the membrane Robin RHS terms from
+        facet-LOCAL P1 values — the shared algebra of the blocked
+        (membrane-space Pallas) and outlier-facet paths.
+
+        Xloc: (F, M, k, L) facet-local values of the stacked fields
+        [c_e (N) | c_i (N) | dphi | phi_M | I_ch (N)]; areas: (M, L)
+        (zero on padding facets).  Returns (2*Ns, M, k, L): the e-side
+        then i-side integrand values, area- and quadrature-weighted
+        (knpWeakForm.py:146-216 algebra, identical to the XLA path).
+        """
+        p = self.params
+        dt, Fc, C_M = p.dt, p.F, p.C_M
+        N, Ns = len(self.ions), self.n_solved
+        Tq = jnp.einsum("fmkl,qk->fmql", Xloc, fbj)
+        c_e_q, c_i_q = Tq[:N], Tq[N : 2 * N]
+        dphi_q, phiM_q = Tq[2 * N], Tq[2 * N + 1]
+        Ich_q = Tq[2 * N + 2 :]
+
+        def alpha(tag, cq):
+            Dz2 = self.D_all[tag] * self.z_all**2  # (N,)
+            w = Dz2[:, None, None, None] * cq
+            den = w.sum(axis=0)
+            den = jnp.where(den == 0, 1.0, den)  # padding facets only
+            return w[:Ns] / den[None]
+
+        alpha_e = alpha(0, c_e_q)  # (Ns, M, nq, L)
+        alpha_i = alpha(ct, c_i_q)
+        z = self.z_solved[:, None, None, None]
+        C_e = alpha_e * C_M / (Fc * z * dt)
+        C_i = alpha_i * C_M / (Fc * z * dt)
+        Ich_tot_q = Ich_q.sum(axis=0)
+        Ich_k_q = Ich_q[:Ns]
+        if self.splitting_scheme:
+            g_e = (
+                phiM_q[None]
+                - dt / (C_M * alpha_e) * Ich_k_q
+                + (dt / C_M) * Ich_tot_q[None]
+            )
+            g_i = (
+                phiM_q[None]
+                - dt / (C_M * alpha_i) * Ich_k_q
+                + (dt / C_M) * Ich_tot_q[None]
+            )
+        else:
+            g_e = phiM_q[None] - dt / (C_M * alpha_e) * Ich_k_q
+            g_i = phiM_q[None] - dt / (C_M * alpha_i) * Ich_k_q
+        integ = jnp.concatenate(
+            [C_e * (dphi_q[None] - g_e), C_i * (g_i - dphi_q[None])], axis=0
+        )  # (2Ns, M, nq, L)
+        return jnp.einsum("smql,q,qk->smkl", integ, fwj, fbj) * areas[
+            None, :, None, :
+        ]
+
+    def _membrane_rhs_blocked(self, m, sp, c, phi, phi_M, I_ch, fbj, fwj):
+        """Membrane Robin RHS in membrane-dof space: ONE flat gather per
+        side + two blocked facet kernels replace the facet-level path's
+        ~6x duplicate-indexed random traffic.  Returns (y_e, y_i), each
+        (Ns, n_mem), to be scatter-added at mem_to_ecs / mem_to_ics."""
+        from ..ops import pallas_assembly as PA
+
+        mb = self.mem_blocked[m]
+        bkm = mb["bk"]
+        ct = sp["cell_tag"]
+        N, Ns = len(self.ions), self.n_solved
+        c_e_m = c[0][:, sp["mem_to_ecs"]]  # (N, n_mem)
+        c_i_m = c[ct][:, sp["mem_to_ics"]]
+        dphi_m = phi[ct][sp["mem_to_ics"]] - phi[0][sp["mem_to_ecs"]]
+        X = jnp.concatenate(
+            [c_e_m, c_i_m, dphi_m[None], phi_M[m][None], I_ch[m]], axis=0
+        )  # (F, n_mem)
+        G = PA.facet_gather_blocked(X, bkm, interpret=self.pallas_interpret)
+        NB, NCH, F, KC = G.shape
+        k, C = bkm.k, KC // bkm.k
+        Xloc = (
+            G.reshape(NB * NCH, F, k, C).transpose(1, 0, 2, 3)
+        )  # (F, M, k, C)
+        vals = self._robin_facet_values(ct, Xloc, mb["areas"], fbj, fwj)
+        V = (
+            vals.transpose(1, 0, 2, 3)  # (M, 2Ns, k, C)
+            .reshape(NB, NCH, 2 * Ns, KC)
+        )
+        Y = PA.facet_scatter_blocked(
+            V, bkm, interpret=self.pallas_interpret
+        )  # (2Ns, n_mem)
+        y_e, y_i = Y[:Ns], Y[Ns:]
+        if len(bkm.rest_cells):
+            rc = jnp.asarray(bkm.rest_cells)  # (nr, k)
+            ra = jnp.asarray(bkm.rest_vols, self.dtype)  # (nr,)
+            Xr = X[:, rc].transpose(0, 2, 1)[:, None]  # (F, 1, k, nr)
+            vr = self._robin_facet_values(ct, Xr, ra[None, :], fbj, fwj)
+            vr = vr[:, 0].transpose(0, 2, 1)  # (2Ns, nr, k)
+            n_m = X.shape[1]
+            add = jax.vmap(lambda v: K.scatter_add(n_m, rc, v))(vr)
+            y_e = y_e + add[:Ns]
+            y_i = y_i + add[Ns:]
+        return y_e, y_i
+
     def _alpha_q(self, tag: int, c_traces_q: jnp.ndarray) -> jnp.ndarray:
         """Transference numbers at facet quadrature points.
 
@@ -414,6 +533,13 @@ class KNPSystem:
         fw = jnp.asarray(fw_np, dtype=self.dtype)
         for m, sp in self.mem.items():
             ct = sp["cell_tag"]
+            if self.use_pallas and m in self.mem_blocked:
+                y_e, y_i = self._membrane_rhs_blocked(
+                    m, sp, c, phi, phi_M, I_ch, fb, fw
+                )
+                r[0] = r[0].at[:, sp["mem_to_ecs"]].add(y_e)
+                r[ct] = r[ct].at[:, sp["mem_to_ics"]].add(y_i)
+                continue
             # traces of all ions at facet quadrature points, both sides
             c_e_q = jnp.einsum("Kfk,qk->Kfq", c[0][:, sp["facet_edofs"]], fb)
             c_i_q = jnp.einsum("Kfk,qk->Kfq", c[ct][:, sp["facet_idofs"]], fb)

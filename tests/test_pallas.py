@@ -174,6 +174,59 @@ def test_knp_batched_kernel_matches_per_ion():
         )
 
 
+@pytest.mark.parametrize("make", [lambda: unit_square_mms_mesh(12),
+                                  lambda: idealized_3d_mesh(0, l=1)])
+def test_knp_membrane_rhs_blocked_matches_xla(make):
+    """The membrane-space blocked KNP Robin RHS (facet_gather_blocked +
+    dense quadrature + facet_scatter_blocked) must equal the facet-level
+    XLA path (knpWeakForm.py:146-216)."""
+    from knpemi_tpu.systems.knp import KNPSystem
+    from knpemi_tpu.systems.types import Ion, PhysicalParams
+
+    geom = build_geometry(make())
+    tags = geom.sub_tags
+    ions = [
+        Ion(name="Na", z=1.0, D={t: 1.33e-5 for t in tags}),
+        Ion(name="K", z=1.0, D={t: 1.96e-5 for t in tags}),
+        Ion(name="Cl", z=-1.0, D={t: 2.03e-5 for t in tags}),
+    ]
+    params = PhysicalParams(dt=1e-5)
+    kws = dict(dtype=jnp.float32, splitting_scheme=True)
+    ksP = KNPSystem(geom, ions, params, use_pallas=True,
+                    pallas_interpret=True, **kws)
+    ksX = KNPSystem(geom, ions, params, use_pallas=False, **kws)
+    assert ksP.use_pallas and ksP.mem_blocked
+
+    rng = np.random.default_rng(5)
+    c = {
+        t: jnp.asarray(
+            rng.uniform(1.0, 150.0, (len(ions), s.n_dofs)), jnp.float32
+        )
+        for t, s in geom.subdomains.items()
+    }
+    phi = {
+        t: jnp.asarray(rng.standard_normal(s.n_dofs) * 1e-2, jnp.float32)
+        for t, s in geom.subdomains.items()
+    }
+    phi_M = {
+        m: jnp.asarray(rng.standard_normal(sp.n_dofs) * 1e-2, jnp.float32)
+        for m, sp in geom.membranes.items()
+    }
+    I_ch = {
+        m: jnp.asarray(
+            rng.standard_normal((len(ions), sp.n_dofs)) * 1e-5, jnp.float32
+        )
+        for m, sp in geom.membranes.items()
+    }
+    rP = ksP.rhs(c, phi, phi_M, I_ch)
+    rX = ksX.rhs(c, phi, phi_M, I_ch)
+    for t in rX:
+        scale = float(jnp.abs(rX[t]).max())
+        np.testing.assert_allclose(
+            np.asarray(rP[t]), np.asarray(rX[t]), atol=2e-5 * scale
+        )
+
+
 def test_gmres_batched_matches_single():
     from knpemi_tpu.solvers.gmres import gmres, gmres_batched
 
