@@ -136,6 +136,43 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench must still report
             out["big_case"] = {"error": str(e)[:200]}
 
+    # flagship case: the astrocyte-class tissue scenario (3 subdomains,
+    # 2 membranes — HH neuron + Kir glial — pulsed ECS source) at 840k
+    # dofs/step, the workload class BASELINE.md's 10x gate is defined on
+    if case == "3d" and os.environ.get("KNPEMI_BENCH_FLAGSHIP", "1") == "1":
+        try:
+            sys.path.insert(
+                0,
+                str(Path(__file__).resolve().parent / "examples" / "astrocyte"),
+            )
+            from run_stim_duration import build_simulation as build_astro
+            from knpemi_tpu.sim.config import load_config, DEFAULTS
+
+            cfg = dict(DEFAULTS)
+            cfg.update(
+                load_config(
+                    Path(__file__).resolve().parent
+                    / "examples/astrocyte/config_files/baseline.yml"
+                )
+            )
+            cfg["mesh_n"] = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_N", "64"))
+            sim_fl = build_astro(cfg)
+            dofs_fl = _dofs_per_step(sim_fl)
+            n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "3"))
+            wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
+            ms_step = wall_fl / n_fl * 1e3
+            out["flagship"] = {
+                "dofs": dofs_fl,
+                "ms_per_step": round(ms_step, 1),
+                "mdof_per_s": round(dofs_fl * n_fl / wall_fl / 1e6, 4),
+                # wall seconds of compute per simulated millisecond
+                "s_per_sim_ms": round(ms_step / 1e3 / float(cfg["dt"]), 3),
+                "emi_iters": int(ie[-1]),
+                "knp_iters": int(ik[-1]),
+            }
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            out["flagship"] = {"error": str(e)[:200]}
+
     print(json.dumps(out))
 
 

@@ -70,7 +70,10 @@ def build_simulation(config: dict, dtype=None):
                 }
             mesh = remark_emimesh(mesh, **opts)
     else:
-        mesh = astrocyte_tissue_mesh(int(config.get("resolution", 0)))
+        mesh = astrocyte_tissue_mesh(
+            int(config.get("resolution", 0)),
+            n=config.get("mesh_n"),  # direct per-axis cell count override
+        )
     geom = build_geometry(mesh)
 
     dt = float(config.get("dt", 0.1))

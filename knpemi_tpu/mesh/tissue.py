@@ -64,12 +64,16 @@ def two_cell_tissue_mesh(resolution: int = 0, L: float = 5.0) -> Mesh:
     return mesh
 
 
-def astrocyte_tissue_mesh(resolution: int = 0, L: float = 5.0) -> Mesh:
+def astrocyte_tissue_mesh(
+    resolution: int = 0, L: float = 5.0, n: int | None = None
+) -> Mesh:
     """ECS(0) + neuron(1) + glial(2) boxes inside an (L um)^3 ECS cube;
     membranes tagged by the owning cell tag; source-box region of the
     reference configs (x,y in [2.1, 2.9] um, z in [2.1, 2.5] um) lies in
-    the ECS between the two cells."""
-    n = 20 * 2**resolution
+    the ECS between the two cells.  ``n`` overrides the per-axis cell
+    count directly (the flagship-scale bench uses n=64: 840k dofs/step)."""
+    if n is None:
+        n = 20 * 2**resolution
     neuron = ((0.5 * UM, 1.0 * UM, 1.0 * UM), (4.5 * UM, 2.0 * UM, 2.0 * UM), 1)
     glial = ((0.5 * UM, 3.0 * UM, 3.0 * UM), (4.5 * UM, 4.0 * UM, 4.0 * UM), 2)
     mesh = _build(

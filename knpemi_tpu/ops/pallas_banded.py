@@ -86,6 +86,74 @@ def _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret):
     return out.reshape(NB * R)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("NB", "R", "W", "B", "interpret")
+)
+def _banded_mv_call_batch(w0_rows, x2, slabT, NB, R, W, B, interpret):
+    """Batched variant: B vectors through ONE slab read.  The x table is
+    lane-stacked (nrows, B*128) so each window row read stays a single
+    contiguous (1, B*128) dynamic sublane slice; per 128-column block the
+    kernel issues B small dots instead of 1 — still HBM-bound on the
+    slab, so B solves cost ~1x the single-vector apply (the KNP ion
+    batch reads each V-cycle level's slab once, not once per ion)."""
+    J = W // 128
+    is_bf16 = slabT.dtype == jnp.bfloat16
+    prec = (
+        jax.lax.Precision.DEFAULT if is_bf16 else jax.lax.Precision.HIGHEST
+    )
+
+    def kernel(w0r_ref, x_ref, s_ref, o_ref):
+        b = pl.program_id(0)
+        row0 = w0r_ref[b]
+        accs = [jnp.zeros((1, R), jnp.float32) for _ in range(B)]
+        for j in range(J):
+            xrow = x_ref[pl.ds(row0 + j, 1), :]  # (1, B*128)
+            if is_bf16:
+                xrow = xrow.astype(jnp.bfloat16)
+            sblk = s_ref[j * 128:(j + 1) * 128, :]
+            for bb in range(B):
+                accs[bb] = accs[bb] + jax.lax.dot_general(
+                    xrow[:, bb * 128:(bb + 1) * 128], sblk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+        o_ref[0] = jnp.concatenate(accs, axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, R), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, R), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((NB, B, R), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w0_rows, x2, slabT)
+    return out.transpose(1, 0, 2).reshape(B, NB * R)
+
+
+def banded_matvec_batch(slabT, w0_rows, X, n, W, interpret=False):
+    """Y = A_near X^T batched over rows of X (B, m): one slab read serves
+    all B vectors.  See :func:`banded_matvec` for the layout contract."""
+    R = slabT.shape[1]
+    NB = slabT.shape[0] // W
+    B, m = X.shape
+    nrows = -(-(m + W) // 128) + 1
+    x2 = jnp.pad(X, ((0, 0), (0, nrows * 128 - m))).reshape(B, nrows, 128)
+    x2 = jnp.moveaxis(x2, 0, 1).reshape(nrows, B * 128)
+    y = _banded_mv_call_batch(w0_rows, x2, slabT, NB, R, W, B, interpret)
+    return y[:, :n]
+
+
 def banded_matvec(slabT, w0_rows, x, n, W, interpret=False):
     """y = A_near x for a block-banded A: ``slabT`` is (NB*W, R) with
     slabT[b*W + w, r] = A[b*R + r, w0[b] + w]; ``w0_rows`` = w0 // 128

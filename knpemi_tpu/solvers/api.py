@@ -273,10 +273,12 @@ class KNPSolver:
                 )
                 M = None
                 if mg_t is not None:
-                    _noA = lambda v: v  # level-0 uses the lagged ELL/band
+                    _noA = lambda V: V  # level-0 uses the lagged ELL/band
 
                     def M(V, mg_t=mg_t):
-                        return jax.vmap(lambda r: mg_t.apply(_noA, r))(V)
+                        # batched V-cycle: each level's slab is read once
+                        # for all ions (vs once per ion under vmap)
+                        return mg_t.apply_batch(_noA, V)
 
                 res = gmres_batched(
                     A_hat,

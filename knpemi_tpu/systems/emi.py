@@ -137,6 +137,7 @@ class EMISystem:
         )
         self.blocked = {}
         self.mem_blocked = {}
+        self._mem_diag_flat = None
         if use_pallas:
             from ..ops import pallas_assembly as PA
 
@@ -179,6 +180,26 @@ class EMISystem:
                         flat_idx=jnp.asarray(flat_idx),
                         n_mem=sp_.n_dofs,
                     )
+                # static membrane mass diagonal, flat over the EMI vector
+                # (C_phi M_Gamma's diagonal never changes): precomputed so
+                # diag() is dense math + one blocked scatter per subdomain
+                dmem = np.zeros(self.n)
+                C_phi = params.C_phi
+                for m, sp_ in geom.membranes.items():
+                    k_f = sp_.facet_dofs.shape[1]
+                    dv = (
+                        2.0 * np.asarray(sp_.areas) * C_phi
+                        / (k_f * (k_f + 1))
+                    )
+                    np.add.at(
+                        dmem,
+                        self.offsets[sp_.cell_tag] + sp_.facet_idofs,
+                        dv[:, None],
+                    )
+                    np.add.at(
+                        dmem, self.offsets[0] + sp_.facet_edofs, dv[:, None]
+                    )
+                self._mem_diag_flat = jnp.asarray(dmem, dtype=dtype)
 
     # ------------------------------------------------------------------
     def local_view(self, sub, mem, reduce):
@@ -297,6 +318,8 @@ class EMISystem:
         return y * self.bc_mask + x * (1.0 - self.bc_mask)
 
     def diag(self, kappa: Dict[int, jnp.ndarray]) -> jnp.ndarray:
+        if self.use_pallas and self._mem_diag_flat is not None:
+            return self._diag_blocked(kappa)
         ds = {}
         for t in self.tags:
             s = self.sub[t]
@@ -311,6 +334,36 @@ class EMISystem:
             ds[ct] = ds[ct].at[sp["facet_idofs"].reshape(-1)].add(dvals.reshape(-1))
             ds[0] = ds[0].at[sp["facet_edofs"].reshape(-1)].add(dvals.reshape(-1))
         d = self.reduce(self.flatten(ds))
+        if self.has_bc:
+            d = d * self.bc_mask + (1.0 - self.bc_mask)
+        return d
+
+    def _diag_blocked(self, kappa: Dict[int, jnp.ndarray]) -> jnp.ndarray:
+        """Jacobi diagonal on the blocked path: the stiffness diagonal is
+        per-slot dense math (wv * |grad_slot|^2) + one blocked scatter per
+        subdomain; the static membrane mass diagonal is precomputed flat.
+        Replaces a ~70 ms XLA scatter storm at 3-D res 2."""
+        from ..ops import pallas_assembly as PA
+
+        ds = {}
+        for t in self.tags:
+            blk = self.blocked[t]
+            bk = blk["bk"]
+            wv, rest_w = PA.prepare_emi_weight(kappa[t], bk, blk["vols"])
+            # wv and g2 are both (NB, NCH, 1, KC)
+            g2 = (blk["grads"] ** 2).sum(axis=2, keepdims=True)
+            V = wv * g2
+            y = PA.facet_scatter_blocked(
+                V, bk, interpret=self.pallas_interpret
+            )[0]
+            if len(bk.rest_cells):
+                rv = jnp.asarray(bk.rest_vols, self.dtype) * rest_w
+                rg2 = (jnp.asarray(bk.rest_grads, self.dtype) ** 2).sum(-1)
+                y = y + K.scatter_add(
+                    bk.n_dofs, jnp.asarray(bk.rest_cells), rv[:, None] * rg2
+                )
+            ds[t] = y
+        d = self.reduce(self.flatten(ds) + self._mem_diag_flat)
         if self.has_bc:
             d = d * self.bc_mask + (1.0 - self.bc_mask)
         return d

@@ -9,6 +9,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -140,6 +141,24 @@ def test_banded_matvec_interpret_matches_scipy():
     )
     assert np.abs(y_pl - y_ref).max() / scale < 1e-5
 
+    # batched: one slab read for B vectors must equal per-vector applies
+    from knpemi_tpu.ops.pallas_banded import banded_matvec_batch
+    from knpemi_tpu.solvers.mg import _banded_mv_batch
+
+    X = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    Yb = sum(
+        banded_matvec_batch(w["slabT"], w["w0_rows"], X, nn, w["W"],
+                            interpret=True)
+        for w in dev["windows"]
+    )
+    Yb = np.asarray(
+        Yb.at[:, dev["far_rows"]].add(dev["far_vals"] * X[:, dev["far_cols"]])
+    )
+    Yref = np.stack([A @ np.asarray(X[b], np.float64) for b in range(3)])
+    assert np.abs(Yb - Yref).max() / scale < 1e-5
+    Yx = np.asarray(_banded_mv_batch(dev, X))  # XLA fallback path
+    assert np.abs(Yx - Yref).max() / scale < 1e-5
+
 
 def test_knp_batched_kernel_matches_per_ion():
     """knp_apply_blocked_batch (all ions, shared one-hot E) must equal
@@ -225,6 +244,56 @@ def test_knp_membrane_rhs_blocked_matches_xla(make):
         np.testing.assert_allclose(
             np.asarray(rP[t]), np.asarray(rX[t]), atol=2e-5 * scale
         )
+
+
+def test_emi_diag_blocked_matches_xla():
+    """diag() on the blocked path (dense per-slot math + one scatter
+    kernel + precomputed static membrane diagonal) vs the XLA path."""
+    from knpemi_tpu.systems.emi import EMISystem
+    from knpemi_tpu.systems.types import Ion, PhysicalParams
+
+    geom = build_geometry(idealized_3d_mesh(0, l=1))
+    tags = geom.sub_tags
+    ions = [
+        Ion("Na", 1.0, {t: 1.33e-5 for t in tags}),
+        Ion("K", 1.0, {t: 1.96e-5 for t in tags}),
+        Ion("Cl", -1.0, {t: 2.03e-5 for t in tags}),
+    ]
+    params = PhysicalParams(dt=1e-5)
+    esP = EMISystem(geom, ions, params, dtype=jnp.float32,
+                    use_pallas=True, pallas_interpret=True)
+    esX = EMISystem(geom, ions, params, dtype=jnp.float32, use_pallas=False)
+    assert esP.use_pallas and esP._mem_diag_flat is not None
+    rng = np.random.default_rng(1)
+    kappa = {
+        t: jnp.asarray(rng.uniform(1, 2, s.n_dofs), jnp.float32)
+        for t, s in geom.subdomains.items()
+    }
+    dP, dX = esP.diag(kappa), esX.diag(kappa)
+    np.testing.assert_allclose(
+        np.asarray(dP), np.asarray(dX),
+        atol=1e-5 * float(jnp.abs(dX).max()),
+    )
+
+
+def test_mg_apply_batch_matches_vmap():
+    """DeviceMG.apply_batch (one slab read per level for the whole ion
+    batch) must equal the per-row V-cycle."""
+    from run_2d import build_simulation
+
+    sim = build_simulation(resolution=1, dtype=jnp.float32)
+    mg = sim.knp_solver.mg.get(0) or sim.emi_solver.mg
+    assert mg is not None
+    n = len(mg.fine_diag)
+    rng = np.random.default_rng(2)
+    R = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    _noA = lambda v: v
+    Yb = mg.apply_batch(_noA, R)
+    Yv = jax.vmap(lambda r: mg.apply(_noA, r))(R)
+    scale = float(jnp.abs(Yv).max())
+    np.testing.assert_allclose(
+        np.asarray(Yb), np.asarray(Yv), atol=1e-5 * scale
+    )
 
 
 def test_gmres_batched_matches_single():

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Per-component timing of the (EMI) V-cycle at a given resolution.
+
+Times, loop-amortized on the current backend: each level's lagged
+operator apply (banded or ELL), the P/Pt transfers, the coarse dense
+solve, and the whole `DeviceMG.apply` — to locate where the V-cycle's
+cost sits relative to its HBM floor.  Usage:
+
+    python tools/profile_vcycle.py [--case 3d] [--res 2] [--system emi]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(
+    0, str(Path(__file__).resolve().parent.parent / "examples" / "idealized")
+)
+
+
+def loop_timeit(op, x, *extra, K=50, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    def run(x, *extra):
+        def body(i, x):
+            y = op(x, *extra)
+            return y + 0.0 * jnp.asarray(i, y.dtype)
+
+        return jax.lax.fori_loop(0, K, body, x)
+
+    j = jax.jit(run)
+    out = j(x, *extra)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = j(x, *extra)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (reps * K) * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="3d")
+    ap.add_argument("--res", type=int, default=2)
+    ap.add_argument("--system", default="emi")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.case == "2d":
+        from run_2d import build_simulation
+
+        sim = build_simulation(resolution=args.res)
+    else:
+        from run_3d import build_simulation
+
+        sim = build_simulation(resolution=args.res, g_syn_bar=10.0)
+
+    if args.system == "emi":
+        mg = sim.emi_solver.mg
+        n = sim.geom.emi_size
+    else:
+        mg = sim.knp_solver.mg.get(0)
+        n = sim.geom.subdomains[0].n_dofs
+
+    rng = np.random.default_rng(0)
+    r0 = jnp.asarray(rng.standard_normal(n), sim.dtype)
+
+    # fine exact operator (matvec ctx with current kappa)
+    es = sim.emi_sys
+    state = sim.init_state()
+    kappa = jax.jit(es.kappa)(state.c)
+    ctx = jax.jit(es.prepare)(kappa)
+    d = mg.fine_diag
+    s = 1.0 / jnp.sqrt(jnp.abs(d))
+    A0 = lambda v: s * es.matvec(s * v, ctx)
+
+    print(f"n={n}  levels={len(mg.levels)}  coarse={mg.coarse_V.shape}",
+          flush=True)
+    # NOTE every level's arrays are passed as jit ARGUMENTS (lv is a
+    # pytree): closing over the fine banded slab would ship ~4 GB of
+    # HLO constants through the remote-compile tunnel.
+    from knpemi_tpu.solvers.mg import _banded_mv, _ell_mv
+
+    def op_level(x, lv, i=0):
+        if lv.get("a_band") is not None:
+            return _banded_mv(lv["a_band"], x)
+        if i == 0 and lv["a_cols"] is None:
+            return A0(x)
+        return _ell_mv(lv["a_cols"], lv["a_vals"], x)
+
+    def tr(lv, which, x):
+        band = lv.get(which + "_band")
+        if band is not None:
+            return _banded_mv(band, x)
+        return _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
+
+    x = r0
+    for i, lv in enumerate(mg.levels):
+        kind = (
+            "band" if lv.get("a_band") is not None
+            else ("EXACT-A0" if (i == 0 and lv["a_cols"] is None) else "ell")
+        )
+        n_i = len(x)
+        t_op = loop_timeit(lambda v, l: op_level(v, l, i), x, lv, K=20)
+        extra = ""
+        if kind == "ell":
+            extra = f" Kell={lv['a_vals'].shape[1]}"
+        elif kind == "band":
+            b = lv["a_band"]
+            ws = [(w["slabT"].shape, w["slabT"].dtype) for w in b["windows"]]
+            nnz_far = len(b.get("far_vals", []))
+            extra = f" slabs={ws} far={nnz_far}"
+        print(f"level {i}: n={n_i:8d} A({kind}) : {t_op:8.3f} ms{extra}",
+              flush=True)
+        # transfers (shape-changing: time with fixed input, dispatch incl.)
+        rc = tr(lv, "pt", x)
+
+        def tm(fn, v, lv, K=20, reps=3):
+            j = jax.jit(fn)
+            out = j(v, lv)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(reps * K):
+                out = j(v, lv)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / (reps * K) * 1e3
+
+        t_pt = tm(lambda v, l: tr(l, "pt", v), x, lv)
+        t_p = tm(lambda v, l: tr(l, "p", v), rc, lv)
+        pk = "band" if lv.get("pt_band") is not None else "ell"
+        print(f"         pt({pk}): {t_pt:8.3f} ms (dispatch incl.)   "
+              f"p({pk}): {t_p:8.3f} ms", flush=True)
+        x = rc
+    t_coarse = loop_timeit(
+        lambda v, V, il: V @ (il * (V.T @ v)), x, mg.coarse_V,
+        mg.coarse_ilam, K=20,
+    )
+    print(f"coarse dense     : {t_coarse:8.3f} ms  (n={len(x)})", flush=True)
+    t_all = loop_timeit(lambda v, m: m.apply(A0, v), r0, mg, K=10)
+    print(f"FULL V-cycle     : {t_all:8.3f} ms/op", flush=True)
+    t_b = loop_timeit(
+        lambda V, m: m.apply_batch(lambda Y: Y, V),
+        jnp.stack([r0, r0 * 0.5]), mg, K=10,
+    )
+    print(f"BATCH-2 V-cycle  : {t_b:8.3f} ms/op", flush=True)
+    t_a0 = loop_timeit(A0, r0, K=20)
+    print(f"exact fine A0    : {t_a0:8.3f} ms/op", flush=True)
+
+
+if __name__ == "__main__":
+    main()
