@@ -82,24 +82,10 @@ def main():
 
     print(f"n={n}  levels={len(mg.levels)}  coarse={mg.coarse_V.shape}",
           flush=True)
-    # NOTE every level's arrays are passed as jit ARGUMENTS (lv is a
-    # pytree): closing over the fine banded slab would ship ~4 GB of
-    # HLO constants through the remote-compile tunnel.
-    from knpemi_tpu.solvers.mg import _banded_mv, _ell_mv
-
-    def op_level(x, lv, i=0):
-        if lv.get("a_band") is not None:
-            return _banded_mv(lv["a_band"], x)
-        if i == 0 and lv["a_cols"] is None:
-            return A0(x)
-        return _ell_mv(lv["a_cols"], lv["a_vals"], x)
-
-    def tr(lv, which, x):
-        band = lv.get(which + "_band")
-        if band is not None:
-            return _banded_mv(band, x)
-        return _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
-
+    # NOTE the hierarchy is passed as a jit ARGUMENT (DeviceMG is a
+    # registered pytree whose scaffolding stays static): closing over
+    # the fine banded slab would ship ~4 GB of HLO constants through
+    # the remote-compile tunnel.
     x = r0
     for i, lv in enumerate(mg.levels):
         kind = (
@@ -107,32 +93,35 @@ def main():
             else ("EXACT-A0" if (i == 0 and lv["a_cols"] is None) else "ell")
         )
         n_i = len(x)
-        t_op = loop_timeit(lambda v, l: op_level(v, l, i), x, lv, K=20)
+        t_op = loop_timeit(
+            lambda v, m, i=i: m._op(i, A0)(v), x, mg, K=20
+        )
         extra = ""
         if kind == "ell":
             extra = f" Kell={lv['a_vals'].shape[1]}"
         elif kind == "band":
             b = lv["a_band"]
-            ws = [(w["slabT"].shape, w["slabT"].dtype) for w in b["windows"]]
+            ws = [(w["slabT"].shape, str(w["slabT"].dtype))
+                  for w in b["windows"]]
             nnz_far = len(b.get("far_vals", []))
             extra = f" slabs={ws} far={nnz_far}"
         print(f"level {i}: n={n_i:8d} A({kind}) : {t_op:8.3f} ms{extra}",
               flush=True)
         # transfers (shape-changing: time with fixed input, dispatch incl.)
-        rc = tr(lv, "pt", x)
+        rc = mg._transfer(lv, "pt", x)
 
-        def tm(fn, v, lv, K=20, reps=3):
+        def tm(fn, v, K=20, reps=3):
             j = jax.jit(fn)
-            out = j(v, lv)
+            out = j(v, mg)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for _ in range(reps * K):
-                out = j(v, lv)
+                out = j(v, mg)
             jax.block_until_ready(out)
             return (time.perf_counter() - t0) / (reps * K) * 1e3
 
-        t_pt = tm(lambda v, l: tr(l, "pt", v), x, lv)
-        t_p = tm(lambda v, l: tr(l, "p", v), rc, lv)
+        t_pt = tm(lambda v, m, i=i: m._transfer(m.levels[i], "pt", v), x)
+        t_p = tm(lambda v, m, i=i: m._transfer(m.levels[i], "p", v), rc)
         pk = "band" if lv.get("pt_band") is not None else "ell"
         print(f"         pt({pk}): {t_pt:8.3f} ms (dispatch incl.)   "
               f"p({pk}): {t_p:8.3f} ms", flush=True)

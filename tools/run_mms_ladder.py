@@ -22,6 +22,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# MMS verification is an f64 host computation: force the CPU platform
+# BEFORE any knpemi_tpu import (under the axon TPU plugin the
+# JAX_PLATFORMS env var alone is ignored, and the package's TPU policy
+# would silently truncate f64 to f32)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 
