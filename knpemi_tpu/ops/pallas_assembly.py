@@ -89,6 +89,7 @@ def build_blocking(
     S: int = 512,
     max_spill: int = 31,
     vmem_budget: int = 12 * 1024 * 1024,
+    force_spill: Optional[int] = None,
 ) -> Optional[BlockedCells]:
     """Assign each cell to the block of its min dof; returns None if the
     Morton dof spread forces windows beyond `max_spill` strides.
@@ -116,6 +117,12 @@ def build_blocking(
     cmin = cmin[~outlier]
     spread = int(spreads[~outlier].max()) if (~outlier).any() else 0
     n_spill = -(-max(spread, 1) // S)
+    if force_spill is not None:
+        # uniform window across per-device blockings (parallel/sharded.py
+        # stacks them with a leading device axis; shard_map needs one
+        # static shape)
+        assert force_spill >= n_spill
+        n_spill = force_spill
     W = (n_spill + 1) * S
     NB = -(-n_dofs // S)
     bid = cmin // S

@@ -101,6 +101,87 @@ def partition_subdomain(sub, n_dev: int, fsrc=None) -> SubPartition:
     )
 
 
+def partition_blocking(part: SubPartition, S: int = 512):
+    """Per-device Pallas blockings of the window-local cells, padded to
+    UNIFORM static shapes and stacked with a leading device axis (the
+    shard_map operand layout).  Returns (arrays dict, static dict) or
+    None when any device's blocking fails.
+
+    The blocked one-hot kernels then run per device on the halo'd
+    window [0, B+H) exactly as they do single-device on [0, n) — the
+    multi-chip compute path keeps the single-chip kernel economics
+    instead of falling back to XLA random gathers."""
+    from ..ops.pallas_assembly import build_blocking
+
+    N = part.cells.shape[0]
+    # drop the zero-volume padding cells (they would all land in block 0
+    # and inflate its chunk count); build_blocking re-pads per block
+    keep = [np.flatnonzero(part.vols[d] > 0) for d in range(N)]
+
+    def dev_blocking(d, force=None):
+        kd = keep[d]
+        return build_blocking(
+            part.cells[d][kd], part.grads[d][kd], part.vols[d][kd],
+            part.B + part.H, S=S, force_spill=force,
+        )
+
+    bks = []
+    spill = 0
+    for d in range(N):
+        bk = dev_blocking(d)
+        if bk is None or len(bk.rest_cells):
+            # outlier cells would need a second (per-device ragged) path;
+            # the window is the halo'd block, so spills are rare — fall
+            # back entirely rather than complicate the SPMD kernel
+            return None
+        bks.append(bk)
+        spill = max(spill, bk.n_spill)
+    bks = [dev_blocking(d, force=spill) for d in range(N)]
+    if any(b is None or len(b.rest_cells) for b in bks):
+        return None
+    NCH = max(b.n_chunks for b in bks)
+    b0 = bks[0]
+
+    def pad_nch(a, nch):
+        pad = NCH - nch
+        if pad == 0:
+            return a
+        w = [(0, 0)] * a.ndim
+        w[1] = (0, pad)
+        return np.pad(a, w)
+
+    arrays = dict(
+        lidx=np.stack([pad_nch(b.lidx_lane, b.n_chunks) for b in bks]),
+        grads=np.stack([pad_nch(b.grads_lane, b.n_chunks) for b in bks]),
+        vols=np.stack([pad_nch(b.vols_lane, b.n_chunks) for b in bks]),
+        cells_chunk=np.stack(
+            [pad_nch(b.cells_chunk, b.n_chunks) for b in bks]
+        ),
+    )
+    static = dict(
+        n_dofs=part.B + part.H, S=S, W=b0.W, n_spill=b0.n_spill,
+        n_blocks=b0.n_blocks, C=b0.C, n_chunks=NCH, k=b0.k, dim=b0.dim,
+    )
+    return arrays, static
+
+
+def local_blocking(arrays_sq: dict, static: dict):
+    """Reconstruct a device-local BlockedCells INSIDE shard_map from the
+    squeezed sharded arrays (traced) + replicated static metadata."""
+    from ..ops.pallas_assembly import BlockedCells
+
+    return BlockedCells(
+        rest_cells=np.zeros((0, static["k"]), np.int32),
+        rest_grads=np.zeros((0, static["k"], static["dim"]), np.float32),
+        rest_vols=np.zeros((0,), np.float32),
+        lidx_lane=arrays_sq["lidx"],
+        grads_lane=arrays_sq["grads"],
+        vols_lane=arrays_sq["vols"],
+        cells_chunk=arrays_sq["cells_chunk"],
+        **{k: v for k, v in static.items()},
+    )
+
+
 # ---------------------------------------------------------------------------
 # device-side halo / membrane primitives (called INSIDE shard_map)
 # ---------------------------------------------------------------------------
@@ -109,22 +190,24 @@ def _perm(n_dev: int, shift: int):
 
 
 def halo_gather(x_loc: jnp.ndarray, part: SubPartition, n_dev: int):
-    """(B,) owned block -> (B+H,) window [own | next blocks]."""
+    """(..., B) owned block -> (..., B+H) window [own | next blocks].
+    Leading axes (e.g. the ion batch) ride the same ppermutes — one
+    collective per hop regardless of batch size."""
     blocks = [x_loc]
     for h in range(1, part.n_hops + 1):
         blocks.append(
             jax.lax.ppermute(x_loc, AXIS, _perm(n_dev, h))
         )
-    return jnp.concatenate(blocks, axis=0)
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def halo_reduce(y_ext: jnp.ndarray, part: SubPartition, n_dev: int):
-    """(B+H,) window partial sums -> (B,) owned block with the tail
-    contributions delivered to their owners and added."""
+    """(..., B+H) window partial sums -> (..., B) owned block with the
+    tail contributions delivered to their owners and added."""
     B = part.B
-    y = y_ext[:B]
+    y = y_ext[..., :B]
     for h in range(1, part.n_hops + 1):
-        tail = y_ext[h * B : (h + 1) * B]
+        tail = y_ext[..., h * B : (h + 1) * B]
         y = y + jax.lax.ppermute(tail, AXIS, _perm(n_dev, -h))
     return y
 
@@ -167,12 +250,18 @@ class ShardedEMI:
 
     def __init__(self, emi_sys, parts: Dict[int, SubPartition],
                  local_parts: Dict[int, dict], mem_arrays: Dict[int, dict],
-                 n_dev: int):
+                 n_dev: int, blk: Optional[dict] = None,
+                 interpret: bool = False):
         self.base = emi_sys
         self.parts = parts
         self.local = local_parts  # {tag: {cells, grads, vols}} device-local
         self.mem = mem_arrays  # replicated membrane arrays (+ base's maps)
         self.n_dev = n_dev
+        # per-device BlockedCells on the halo'd window (traced lane
+        # arrays + static metadata): the single-chip Pallas kernel
+        # economics inside shard_map
+        self.blk = blk or {}
+        self.interpret = interpret
         self.tags = emi_sys.tags
         self.params = emi_sys.params
         self.ions = emi_sys.ions
@@ -185,7 +274,9 @@ class ShardedEMI:
             off += parts[t].B
         self.n_local = off
         n_glob = sum(p.n_dofs for p in parts.values())
-        self.nullvec_scale = 1.0 / np.sqrt(n_glob)
+        # plain float: a np.float64 scalar would strongly promote the
+        # nullvec (and then the whole CG carry) to f64 under x64
+        self.nullvec_scale = float(1.0 / np.sqrt(n_glob))
 
     # -- layout helpers --------------------------------------------------
     def split(self, x):
@@ -224,23 +315,47 @@ class ShardedEMI:
         return out
 
     def prepare(self, kappa):
-        return {"kappa": kappa}
+        """Once-per-solve context: on the blocked path, gather the kappa
+        window and form the weighted-vols lane rows so each iteration's
+        kernel gathers only x (mirrors systems/emi.py::prepare)."""
+        ctx = {"kappa": kappa}
+        if self.blk:
+            from ..ops import pallas_assembly as PA
+
+            ctx["wv"] = {}
+            for t in self.tags:
+                p = self.parts[t]
+                kap_ext = halo_gather(kappa[t], p, self.n_dev)
+                ctx["wv"][t] = PA.prepare_emi_weight(
+                    kap_ext, self.blk[t], self.blk[t].vols_lane
+                )
+        return ctx
 
     def matvec(self, x, ctx):
         from ..ops import kernels as K
 
-        kappa = ctx["kappa"] if isinstance(ctx, dict) else ctx
+        if not (isinstance(ctx, dict) and "kappa" in ctx):
+            ctx = self.prepare(ctx)
+        kappa = ctx["kappa"]
         xs = self.split(x)
         ys = {}
         for t in self.tags:
             p = self.parts[t]
             lc = self.local[t]
             x_ext = halo_gather(xs[t], p, self.n_dev)
-            kap_ext = halo_gather(kappa[t], p, self.n_dev)
-            y_ext = K.stiffness_apply(
-                p.B + p.H, x_ext, lc["cells"], lc["grads"], lc["vols"],
-                coef_vertex=kap_ext,
-            )
+            if self.blk:
+                from ..ops import pallas_assembly as PA
+
+                y_ext = PA.emi_stiffness_blocked(
+                    x_ext, ctx["wv"][t], self.blk[t],
+                    self.blk[t].grads_lane, interpret=self.interpret,
+                )
+            else:
+                kap_ext = halo_gather(kappa[t], p, self.n_dev)
+                y_ext = K.stiffness_apply(
+                    p.B + p.H, x_ext, lc["cells"], lc["grads"], lc["vols"],
+                    coef_vertex=kap_ext,
+                )
             ys[t] = halo_reduce(y_ext, p, self.n_dev)
         self._membrane_terms(xs, ys)
         return self.flatten(ys)
@@ -348,7 +463,8 @@ class ShardedKNP:
 
     def __init__(self, knp_sys, parts: Dict[int, SubPartition],
                  local_parts: Dict[int, dict], mem_arrays: Dict[int, dict],
-                 n_dev: int):
+                 n_dev: int, blk: Optional[dict] = None,
+                 interpret: bool = False):
         self.base = knp_sys
         self.parts = parts
         self.local = local_parts
@@ -363,7 +479,11 @@ class ShardedKNP:
         self.D_all = knp_sys.D_all
         self.z_solved = knp_sys.z_solved
         self.z_all = knp_sys.z_all
-        self.use_pallas = False
+        # blocked per-device window kernels: turns on the ion-batched
+        # GMRES in KNPSolver (all ions through one operator application)
+        self.blk = blk or {}
+        self.interpret = interpret
+        self.use_pallas = bool(blk)
         self.mms = None
         self.splitting_scheme = knp_sys.splitting_scheme
         self.dim = knp_sys.dim
@@ -382,10 +502,33 @@ class ShardedKNP:
             p = self.parts[t]
             lc = self.local[t]
             phi_ext = halo_gather(phi_loc[t], p, self.n_dev)
-            out[t] = dict(
+            ctx = dict(
                 cell=K.cell_gradients(phi_ext, lc["cells"], lc["grads"])
             )
+            if self.blk:
+                from ..ops import pallas_assembly as PA
+
+                ctx["blocked"] = PA.prepare_knp_drift(
+                    phi_ext, self.blk[t], self.blk[t].grads_lane
+                )
+            out[t] = ctx
         return out
+
+    def matvec_batch(self, tag, X, gradphi):
+        """All solved ions of one subdomain through ONE blocked kernel
+        pass on the halo'd window (mirrors systems/knp.py::matvec_batch);
+        X is (N_solved, B) local rows."""
+        from ..ops import pallas_assembly as PA
+
+        p = self.parts[tag]
+        bk = self.blk[tag]
+        X_ext = halo_gather(X, p, self.n_dev)  # (Ns, B+H), shared hops
+        Y = PA.knp_apply_blocked_batch(
+            X_ext, bk, bk.grads_lane, bk.vols_lane, gradphi["blocked"],
+            1.0 / self.params.dt, self.D[tag], self.z_solved,
+            self.params.psi, interpret=self.interpret,
+        )
+        return halo_reduce(Y, p, self.n_dev)
 
     def matvec_one(self, tag, x, gradphi, D, z):
         from ..ops import kernels as K
@@ -559,6 +702,13 @@ class _GatheredMG:
         z = self.mg.apply(lambda v: v, to_global(r_loc))
         return to_local(z)
 
+    def apply_batch(self, A0b, R):
+        """(B, n_loc) residual rows -> (B, n_loc); the replicated
+        hierarchy's own batched V-cycle reads each level slab once."""
+        to_global, to_local = self.layout
+        Z = self.mg.apply_batch(lambda V: V, to_global(R))
+        return to_local(Z)
+
 
 def make_layout(parts: Dict[int, SubPartition], tags: List[int], n_dev: int):
     """(to_global, to_local) between the local flat concat of owned
@@ -598,15 +748,21 @@ def make_layout(parts: Dict[int, SubPartition], tags: List[int], n_dev: int):
 
 
 def make_tag_layout(part: SubPartition, n_dev: int):
-    """Per-subdomain (to_global, to_local) for the KNP hierarchies."""
+    """Per-subdomain (to_global, to_local) for the KNP hierarchies.
+    Both closures act on the LAST axis (leading axes, e.g. the ion
+    batch, ride the same collective)."""
 
     def to_global(x_loc):
-        return jax.lax.all_gather(x_loc, AXIS, tiled=True)[: part.n_dofs]
+        g = jax.lax.all_gather(x_loc, AXIS, tiled=True, axis=x_loc.ndim - 1)
+        return g[..., : part.n_dofs]
 
     def to_local(xg):
         d = jax.lax.axis_index(AXIS)
-        seg = jnp.pad(xg, (0, n_dev * part.B - part.n_dofs))
-        return jax.lax.dynamic_slice_in_dim(seg, d * part.B, part.B)
+        pad = [(0, 0)] * (xg.ndim - 1) + [(0, n_dev * part.B - part.n_dofs)]
+        seg = jnp.pad(xg, pad)
+        return jax.lax.dynamic_slice_in_dim(
+            seg, d * part.B, part.B, axis=-1
+        )
 
     return to_global, to_local
 
@@ -639,15 +795,56 @@ class ShardedSimulation:
             )
         self.tags = sim.geom.sub_tags
 
-        # device-stacked local cell arrays (sharded on axis 0)
+        # device-stacked local cell arrays (sharded on axis 0); float
+        # fields take the sim dtype so f32 runs don't promote through the
+        # host-f64 partition arrays
+        def _conv(k, a):
+            return jnp.asarray(
+                a, dtype=None if k == "cells" else sim.dtype
+            )
+
         self.local_arrays = {
             t: {
-                k: jnp.asarray(getattr(p, k))
+                k: _conv(k, getattr(p, k))
                 for k in ("cells", "grads", "vols")
                 if getattr(p, k) is not None
-            } | ({"fsrc": jnp.asarray(p.fsrc)} if p.fsrc is not None else {})
+            } | (
+                {"fsrc": jnp.asarray(p.fsrc, dtype=sim.dtype)}
+                if p.fsrc is not None else {}
+            )
             for t, p in self.parts.items()
         }
+        # per-device Pallas blockings of the halo'd windows: the blocked
+        # one-hot kernels run inside shard_map with single-chip economics
+        # instead of the XLA gather fallback (lane arrays ride
+        # local_arrays as sharded operands; statics stay closure-side)
+        self.blk_static = None
+        self._spmd_interpret = getattr(
+            sim.emi_sys, "pallas_interpret",
+            devices[0].platform != "tpu",
+        )
+        if getattr(sim, "_use_pallas", False):
+            blks = {t: partition_blocking(self.parts[t]) for t in self.tags}
+            if all(b is not None for b in blks.values()):
+                self.blk_static = {}
+                for t, (arrays, static) in blks.items():
+                    self.blk_static[t] = static
+                    la = self.local_arrays[t]
+                    la["blk_lidx"] = jnp.asarray(arrays["lidx"])
+                    la["blk_grads"] = jnp.asarray(
+                        arrays["grads"], dtype=sim.dtype
+                    )
+                    la["blk_vols"] = jnp.asarray(
+                        arrays["vols"], dtype=sim.dtype
+                    )
+                    la["blk_cells"] = jnp.asarray(arrays["cells_chunk"])
+            else:
+                from ..utils.logging import warn
+
+                warn(
+                    "sharded Pallas blocking unavailable (window spill); "
+                    "using the XLA kernels"
+                )
         # replicated membrane arrays (static ints kept OUT of the pytree
         # so shard_map does not turn shapes into tracers)
         self.mem_arrays = {
@@ -845,10 +1042,26 @@ class ShardedSimulation:
 
         # shard_map delivers local shards with the size-1 device axis kept
         local_sq = jax.tree.map(lambda x: x[0], local_arrays)
+        blk = None
+        if self.blk_static is not None:
+            blk = {
+                t: local_blocking(
+                    dict(
+                        lidx=local_sq[t]["blk_lidx"],
+                        grads=local_sq[t]["blk_grads"],
+                        vols=local_sq[t]["blk_vols"],
+                        cells_chunk=local_sq[t]["blk_cells"],
+                    ),
+                    self.blk_static[t],
+                )
+                for t in self.tags
+            }
         esys = ShardedEMI(sim.emi_sys, self.parts, local_sq,
-                          self._mem_with_static(mem_arrays), n)
+                          self._mem_with_static(mem_arrays), n,
+                          blk=blk, interpret=self._spmd_interpret)
         ksys = ShardedKNP(sim.knp_sys, self.parts, local_sq,
-                          self._mem_with_static(mem_arrays), n)
+                          self._mem_with_static(mem_arrays), n,
+                          blk=blk, interpret=self._spmd_interpret)
 
         layout = make_layout(self.parts, self.tags, n)
         to_g, to_l = layout[0], layout[1]
@@ -900,11 +1113,15 @@ class ShardedSimulation:
         if comp is None:
             comp = sim.dtype == jnp.float32
         if comp:
-            from ..solvers.precision import make_pdot2
+            from ..solvers.precision import make_pbdot2, make_pdot2
 
             dot_fn = make_pdot2(AXIS)
+            bdot_fn = make_pbdot2(AXIS)
         else:
+            from ..solvers.precision import make_pbdot
+
             dot_fn = pdot
+            bdot_fn = make_pbdot(AXIS)
         emi_solver = EMISolver(
             esys, rtol=sim.opts.rtol_emi, atol=sim.opts.atol_emi,
             maxiter=sim.opts.maxiter, dot=dot_fn, mg=emi_mg_w,
@@ -912,7 +1129,7 @@ class ShardedSimulation:
         knp_solver = KNPSolver(
             ksys, rtol=sim.opts.rtol_knp, atol=sim.opts.atol_knp,
             maxiter=sim.opts.maxiter, restart=sim.opts.restart,
-            dot=dot_fn, mg=knp_mg_w,
+            dot=dot_fn, bdot=bdot_fn, mg=knp_mg_w,
         )
 
         # [1] membrane ODEs: replicated traces, dof rows sharded over mesh

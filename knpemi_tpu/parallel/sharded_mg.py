@@ -391,6 +391,14 @@ class ShardedMG:
         z = self._cycle(0, r)
         return z[:L] if pad else z
 
+    def apply_batch(self, A0b, R):
+        """(B, L) residual rows -> (B, L).  The ion batch is tiny (2-3
+        solved ions), so an unrolled row loop keeps the V-cycle's window
+        collectives 1-D; XLA still overlaps the independent rows."""
+        return jnp.stack(
+            [self.apply(None, R[i]) for i in range(R.shape[0])]
+        )
+
     def _op(self, i: int, x_loc):
         lm = self.meta.levels[i]
         return _smv(self.data["levels"][i], lm.wins, lm.f_max, lm.Bd, lm.Bc,

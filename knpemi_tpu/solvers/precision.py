@@ -70,3 +70,28 @@ def make_pdot2(axis: str):
         return s + c
 
     return pdot2
+
+
+def make_pbdot2(axis: str):
+    """SPMD batched variant of :func:`bdot2`: (B, n_loc) rows -> (B,)
+    with one (B,)-sized psum per channel (the ion-batched GMRES inner
+    product inside shard_map)."""
+
+    def pbdot2(u, v):
+        if u.dtype == jnp.float64:
+            return jax.lax.psum(jnp.einsum("bn,bn->b", u, v), axis)
+        p, e = _two_prod(u, v)
+        s = jax.lax.psum(p.sum(axis=-1), axis)
+        c = jax.lax.psum(e.sum(axis=-1), axis)
+        return s + c
+
+    return pbdot2
+
+
+def make_pbdot(axis: str):
+    """Plain SPMD batched dot (f64 or uncompensated f32)."""
+
+    def pbdot(u, v):
+        return jax.lax.psum(jnp.einsum("bn,bn->b", u, v), axis)
+
+    return pbdot
