@@ -63,8 +63,10 @@ def strength_filter(A: sp.csr_matrix, theta: float,
     if B is not None:
         Bs = np.where(B != 0, B, 1.0)
         dval = dval * (B[dcol] / Bs[drow])
+    # bincount returns int64 when drow/dval are both empty (nothing
+    # filtered); keep the diagonal float so sp.diags doesn't warn/cast
     lump = np.bincount(drow, weights=dval, minlength=A.shape[0])
-    return (Af + sp.diags(lump)).tocsr()
+    return (Af + sp.diags(lump.astype(A.data.dtype, copy=False))).tocsr()
 
 
 def vanek_aggregate(Af: sp.csr_matrix):

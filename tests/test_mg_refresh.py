@@ -64,6 +64,37 @@ def test_refresh_keeps_shapes_and_convergence():
     assert it_fresh <= max(it_stale, 1)
 
 
+def test_refresh_3d_stimulation_excursion():
+    """3-D variant of the staleness test, at the excursion the flagship
+    actually sees: [K]e tripled inside a source-box region (reference
+    stimulation drives 3.1 -> 9.3 mM locally), which moves kappa by
+    ~30% exactly where the source sits.  The refreshed hierarchy must
+    still converge and not do worse than the stale t=0 one.  The
+    at-scale (840k dof) version of this measurement is
+    tools/stress_mg_refresh.py (RESULTS.md round 3)."""
+    import run_3d
+
+    sim = run_3d.build_simulation(resolution=0)
+    state = sim.init_state()
+    state, *_ = sim.run(state, 2)
+
+    coords = sim.geom.subdomains[0].coords
+    lo, hi = coords.min(axis=0), coords.max(axis=0)
+    mid = (lo + hi) / 2
+    box = jnp.asarray(
+        np.all((coords > mid) & (coords < mid + 0.3 * (hi - lo)), axis=1)
+    )
+    c = dict(state.c)
+    c[0] = state.c[0].at[0].multiply(jnp.where(box, 3.0, 1.0))
+    state_p = state._replace(c=c)
+
+    it_stale, ok_stale = _emi_iters(sim, state_p)
+    sim.refresh_mg(state_p)
+    it_fresh, ok_fresh = _emi_iters(sim, state_p)
+    assert ok_fresh
+    assert it_fresh <= max(it_stale, 1)
+
+
 def test_refresh_no_retrace_in_run():
     sim = build_simulation(
         resolution=1,
