@@ -504,14 +504,28 @@ def build_hierarchy_cached(
         except Exception:
             pass  # corrupt/stale cache entry: rebuild below
     hier = build_hierarchy(A, B=B, **kw)
+    tmp = f"{path}.tmp{os.getpid()}"
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{path}.tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            pickle.dump(hier, f, protocol=4)
-        os.replace(tmp, path)
-    except OSError:
-        pass  # caching is best-effort
+        # A watchdog timeout (bench.py arms signal.alarm around each
+        # case) landing mid-dump used to abandon a multi-minute build as
+        # an orphan .tmp; cooperating handlers (utils/critical.py) defer
+        # until the entry is safely on disk.
+        from ..utils.critical import critical_section
+
+        with critical_section():
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(tmp, "wb") as f:
+                pickle.dump(hier, f, protocol=4)
+            os.replace(tmp, path)
+    except BaseException as exc:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        # caching is best-effort — but re-raise non-IO interruptions
+        # (KeyboardInterrupt, a watchdog TimeoutError) to the caller
+        if not isinstance(exc, OSError):
+            raise
     return hier
 
 

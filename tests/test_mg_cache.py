@@ -1,0 +1,97 @@
+"""MG disk-cache behavior: hits, and watchdog-safe persistence.
+
+The reference amortizes hypre's setup across a long-lived MPI job;
+knpemi_tpu amortizes it through build_hierarchy_cached's disk cache
+(solvers/mg.py).  bench.py bounds each case with signal.alarm — a
+timeout landing during the (multi-minute at flagship scale) pickle dump
+must not orphan the entry, so the write runs inside
+utils/critical.py::critical_section and cooperating alarm handlers
+defer until it completes.
+"""
+
+import os
+import pickle
+import signal
+import time
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from knpemi_tpu.solvers import mg
+from knpemi_tpu.utils.critical import critical_section, in_critical_section
+
+
+def _laplacian_2d(n1=30):
+    I = sp.eye(n1, dtype=float)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (n1, n1))
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+def test_cache_roundtrip(tmp_path):
+    A = _laplacian_2d()
+    d = str(tmp_path)
+    h1 = mg.build_hierarchy_cached(A, cache_dir=d)
+    files = os.listdir(d)
+    assert len(files) == 1 and files[0].endswith(".pkl")
+    t0 = time.perf_counter()
+    h2 = mg.build_hierarchy_cached(A, cache_dir=d)
+    hit = time.perf_counter() - t0
+    assert len(h2.levels) == len(h1.levels)
+    np.testing.assert_array_equal(h2.levels[0].diag, h1.levels[0].diag)
+    # a different operator must not collide
+    mg.build_hierarchy_cached(_laplacian_2d(31), cache_dir=d)
+    assert len(os.listdir(d)) == 2
+    assert hit < 5.0  # load, not rebuild
+
+
+def test_cache_write_survives_watchdog_timeout(tmp_path):
+    """An alarm firing mid-dump defers via the critical section; the
+    entry lands intact and the timeout still raises afterwards."""
+    A = _laplacian_2d()
+    d = str(tmp_path)
+
+    orig_dump = pickle.dump
+
+    def slow_dump(obj, f, **kw):
+        assert in_critical_section()
+        signal.setitimer(signal.ITIMER_REAL, 0.02)
+        time.sleep(0.15)  # several deferrals land here
+        return orig_dump(obj, f, **kw)
+
+    deferred = []
+
+    def handler(signum, frame):
+        if in_critical_section():
+            deferred.append(1)
+            signal.setitimer(signal.ITIMER_REAL, 0.02)
+            return
+        raise TimeoutError("watchdog")
+
+    old_handler = signal.signal(signal.SIGALRM, handler)
+    pickle.dump = slow_dump
+    try:
+        with pytest.raises(TimeoutError):
+            mg.build_hierarchy_cached(A, cache_dir=d)
+            time.sleep(0.1)  # the re-armed alarm lands here
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        pickle.dump = orig_dump
+        signal.signal(signal.SIGALRM, old_handler)
+
+    assert deferred, "alarm should have been deferred at least once"
+    files = os.listdir(d)
+    assert len(files) == 1 and files[0].endswith(".pkl")
+    # the preserved entry is a valid cache hit
+    h = mg.build_hierarchy_cached(A, cache_dir=d)
+    assert h.levels
+
+
+def test_critical_section_nesting():
+    assert not in_critical_section()
+    with critical_section():
+        assert in_critical_section()
+        with critical_section():
+            assert in_critical_section()
+        assert in_critical_section()
+    assert not in_critical_section()
