@@ -962,6 +962,9 @@ class ShardedSimulation:
                 coarse_max=opts.mg_coarse_max, nu=opts.mg_nu, banded=True,
                 smoother=sim._smoother_for(A_hat.shape[0]),
                 degree=opts.mg_degree,
+                slab_dtype=(
+                    np.float32 if sim.dtype == jnp.float32 else np.float64
+                ),
             )
             data, meta = shard_hierarchy(hier, n, sim.dtype)
             data["fine_diag"] = jnp.asarray(

@@ -132,14 +132,31 @@ class Simulation:
                     and not jax.config.jax_enable_x64
                 )
         self._use_pallas = use_pallas
+
+        # stage timing for slow hosts (KNPEMI_SETUP_TIMING=1): flagship-
+        # scale setup is minutes even warm; this says where they go
+        import os as _os
+
+        _timing = _os.environ.get("KNPEMI_SETUP_TIMING") == "1"
+        _t0 = time.perf_counter()
+
+        def _mark(stage):
+            nonlocal _t0
+            if _timing:
+                t1 = time.perf_counter()
+                print(f"[setup] {stage}: {t1 - _t0:.1f}s", flush=True)
+                _t0 = t1
+
         self.emi_sys = EMISystem(
             geom, ions, params, splitting_scheme, dtype=dtype,
             use_pallas=use_pallas,
         )
+        _mark("EMISystem (kernels+blocking)")
         self.knp_sys = KNPSystem(
             geom, ions, params, splitting_scheme, dtype=dtype,
             use_pallas=use_pallas,
         )
+        _mark("KNPSystem (kernels+blocking)")
         comp = opts.compensated_dots
         if comp is None:
             comp = dtype == jnp.float32
@@ -178,7 +195,9 @@ class Simulation:
             self._band_dtype = jnp.bfloat16 if opts.mg_band_bf16 else None
         if not opts.direct and opts.emi_precond == "mg":
             self._setup_emi_mg()
+            _mark("EMI MG hierarchy")
             self._setup_knp_mg()
+            _mark("KNP MG hierarchies")
         self._step_jit = None
         self._chunk_jit = {}
 
@@ -220,6 +239,9 @@ class Simulation:
             banded=self._mg_banded,
             smoother=self._smoother_for(A_hat.shape[0]),
             degree=self.opts.mg_degree,
+            slab_dtype=(
+                np.float32 if self.dtype == jnp.float32 else np.float64
+            ),
         )
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
@@ -325,6 +347,9 @@ class Simulation:
                 banded=self._mg_banded,
                 smoother=self._smoother_for(A_hat.shape[0]),
                 degree=self.opts.mg_degree,
+                slab_dtype=(
+                    np.float32 if self.dtype == jnp.float32 else np.float64
+                ),
             )
             mg[t] = hier.device(
                 self.dtype, band_dtype=self._band_dtype,

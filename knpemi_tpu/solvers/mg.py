@@ -261,7 +261,7 @@ class MGLevel:
 
 def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
                    density_min: float = 0.002, mem_cap: int = 512 << 20,
-                   n_windows: int = 2):
+                   n_windows: int = 2, dtype=np.float64):
     """Multi-window block-banded dense layout of a sparse matrix whose
     rows are locality-ordered (Morton dofs): rows are grouped into
     blocks of R; each block stores up to ``n_windows`` dense slabs
@@ -353,7 +353,7 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
         dmin = density_min if not windows else density_min / 4
         if nnz_in < dmin * NB * R * W and n > 2048:
             break  # slab nearly empty: leftovers stay COO
-        slabT = np.zeros((NB * W, R), np.float64)
+        slabT = np.zeros((NB * W, R), dtype)
         slabT[blk[inside] * W + loc[inside], rows[inside] % R] = data[inside]
         windows.append((slabT, w0, W))
         remaining = remaining & ~inside
@@ -542,6 +542,7 @@ def build_hierarchy(
     smoother: str = "cheby",
     degree: int = 3,
     gamma: int = 1,
+    slab_dtype=np.float64,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -560,6 +561,18 @@ def build_hierarchy(
     (TPU gathers move ~140M elem/s; slab matmul reads ride HBM at full
     bandwidth).  Levels where the layout is unprofitable keep ELL."""
     A = A0.tocsr()
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("KNPEMI_SETUP_TIMING") == "1"
+    _tl = [_time.perf_counter()]
+
+    def _mark(stage):
+        if _timing:
+            t1 = _time.perf_counter()
+            print(f"[mg] {stage}: {t1 - _tl[0]:.1f}s", flush=True)
+            _tl[0] = t1
+
     if B is None:
         B = np.ones(A.shape[0])
     B = np.asarray(B)
@@ -618,6 +631,7 @@ def build_hierarchy(
         ranks = np.empty(nc, np.int64)
         ranks[np.argsort(first, kind="stable")] = np.arange(nc)
         agg = np.where(valid, ranks[np.maximum(agg, 0)], -1)
+        _mark(f"level {len(levels)} n={n}: aggregate")
         Pt, B = _tentative_prolongator(agg, nc, B)
         lam_f = _lam_max_jacobi(Af)
         df = Af.diagonal()
@@ -625,6 +639,7 @@ def build_hierarchy(
         P = (Pt - (omega_p / lam_f) * (sp.diags(1.0 / df) @ (Af @ Pt))).tocsr()
 
         lam = _lam_max_jacobi(A)
+        _mark(f"level {len(levels)}: prolongator+lam")
         lv = MGLevel(
             n=n, diag=diag, omega=4.0 / (3.0 * lam), P_csr=P,
             steps=(
@@ -636,18 +651,21 @@ def build_hierarchy(
             lv.a_cols, lv.a_vals = _csr_to_ell(A)
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
         lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
+        _mark(f"level {len(levels)}: ELL")
         if banded:
             # the finest level dominates V-cycle cost: give it a larger
             # slab budget (ELL fallback there means ~30x slower random
             # gathers per smoothing pass — the res-2 9 s/step failure)
             cap = (4096 << 20) if not levels else (512 << 20)
             if lv.a_cols is not None:
-                lv.a_band = _csr_to_banded(A, mem_cap=cap)
-            lv.p_band = _csr_to_banded(P)
-            lv.pt_band = _csr_to_banded(P.T.tocsr())
+                lv.a_band = _csr_to_banded(A, mem_cap=cap, dtype=slab_dtype)
+            lv.p_band = _csr_to_banded(P, dtype=slab_dtype)
+            lv.pt_band = _csr_to_banded(P.T.tocsr(), dtype=slab_dtype)
+            _mark(f"level {len(levels)}: banded layout")
         levels.append(lv)
 
         A = (P.T @ A @ P).tocsr()
+        _mark(f"level {len(levels) - 1}: Galerkin RAP")
         node_size = m_cand
     if A.shape[0] > 20 * coarse_max:
         raise RuntimeError(
