@@ -20,10 +20,13 @@ utils.py:100,254,293):
 * membrane coupling terms ride replicated membrane-sized vectors
   (one psum of O(surface) per side) — the bulk never sees a full psum;
 * Krylov inner products are local dots + scalar psum;
-* the lagged MG preconditioner is applied on an all_gather'ed residual
-  and sliced back (hierarchies replicated; distributing the V-cycle is
-  the follow-up optimization — the fine smoother's banded row blocks
-  partition the same way).
+* the lagged MG preconditioner runs as a DISTRIBUTED V-cycle
+  (parallel/sharded_mg.py): every level's banded slabs shard by row
+  block (per-device hierarchy memory is n/N), window reads halo via
+  two-sided neighbor ppermutes, and only the small coarsest dense
+  solve gathers.  ``_GatheredMG`` (all_gather + replicated hierarchy)
+  is retained as the fallback for operators the permuted-layout build
+  declines.
 
 Modular wrap in the ppermutes needs no boundary cases: padding cells
 have zero volume, so wrapped halo values are never read by real cells

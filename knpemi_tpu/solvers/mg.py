@@ -458,6 +458,25 @@ class MGHierarchy:
 _BUILD_VERSION = "v2"
 
 
+def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
+    """Cast a loaded hierarchy's banded slabs to ``slab_dtype`` in place
+    (cache entries are reused across run dtypes; the slabs are
+    preconditioner-internal, so the cast is convergence-neutral —
+    verified identical EMI/KNP iteration counts f32 vs f64)."""
+    for lv in hier.levels:
+        for attr in ("a_band", "p_band", "pt_band"):
+            band = getattr(lv, attr, None)
+            if band is None:
+                continue
+            windows, fr, fc, fv, n, m = band
+            if windows and windows[0][0].dtype != np.dtype(slab_dtype):
+                windows = [
+                    (sT.astype(slab_dtype), w0, W) for sT, w0, W in windows
+                ]
+                setattr(lv, attr, (windows, fr, fc, fv, n, m))
+    return hier
+
+
 def build_hierarchy_cached(
     A0: sp.csr_matrix,
     B: Optional[np.ndarray] = None,
@@ -495,12 +514,18 @@ def build_hierarchy_cached(
     h.update(np.ascontiguousarray(A.data, np.float64).tobytes())
     if B is not None:
         h.update(np.ascontiguousarray(B, np.float64).tobytes())
-    h.update(repr(sorted(kw.items())).encode())
+    # slab_dtype is storage-only (the device casts anyway): keep it OUT
+    # of the key and cast on load, so f32 runs reuse entries built f64
+    # and vice versa instead of repaying a multi-minute build
+    slab_dtype = kw.get("slab_dtype", np.float64)
+    h.update(repr(sorted(
+        (k, v) for k, v in kw.items() if k != "slab_dtype"
+    )).encode())
     path = os.path.join(cache_dir, h.hexdigest()[:32] + ".pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                return pickle.load(f)
+                return _cast_band_dtype(pickle.load(f), slab_dtype)
         except Exception:
             pass  # corrupt/stale cache entry: rebuild below
     hier = build_hierarchy(A, B=B, **kw)

@@ -45,6 +45,23 @@ def test_cache_roundtrip(tmp_path):
     assert hit < 5.0  # load, not rebuild
 
 
+def test_cache_reuse_across_slab_dtype(tmp_path):
+    """slab_dtype is storage-only: an entry built f64 serves an f32 run
+    (cast on load) and vice versa — no rebuild, one entry."""
+    A = _laplacian_2d(120)
+    d = str(tmp_path)
+    h64 = mg.build_hierarchy_cached(A, cache_dir=d, banded=True,
+                                    slab_dtype=np.float64)
+    h32 = mg.build_hierarchy_cached(A, cache_dir=d, banded=True,
+                                    slab_dtype=np.float32)
+    assert len(os.listdir(d)) == 1
+    if h64.levels and h64.levels[0].a_band:
+        s64 = h64.levels[0].a_band[0][0][0]
+        s32 = h32.levels[0].a_band[0][0][0]
+        assert s64.dtype == np.float64 and s32.dtype == np.float32
+        np.testing.assert_allclose(s32, s64.astype(np.float32))
+
+
 def test_cache_write_survives_watchdog_timeout(tmp_path):
     """An alarm firing mid-dump defers via the critical section; the
     entry lands intact and the timeout still raises afterwards."""
