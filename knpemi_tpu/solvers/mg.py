@@ -106,6 +106,68 @@ def vanek_aggregate(Af: sp.csr_matrix):
     return agg, nc
 
 
+def _attach_singletons(agg: np.ndarray, nc: int, A: sp.csr_matrix):
+    """Re-attach singleton aggregates to the aggregate of their
+    largest-|a_ij| RAW-graph neighbor.
+
+    Strength-isolated rows (every coupling below theta) come out of
+    Vanek aggregation as singletons and stay singletons on every
+    Galerkin level, so coarsening STALLS: measured on the flagship
+    tissue's KNP operators (mass/dt-dominated after one coarsening),
+    280k -> 32k -> ... -> 7.5k rows that never shrink, ending in a
+    7509^2 dense eigh costing ~45 host-minutes.  Such rows are
+    diagonally dominant — the smoother owns them — so folding them into
+    a neighboring aggregate costs nothing in interpolation quality while
+    restoring geometric coarsening.  Rows with agg == -1 (diagonal-only)
+    stay excluded."""
+    if nc == 0:
+        return agg, nc
+    sizes = np.bincount(agg[agg >= 0], minlength=nc)
+    single = (agg >= 0) & (sizes[np.maximum(agg, 0)] == 1)
+    if not single.any():
+        return agg, nc
+    A = A.tocsr()
+    indptr, indices, adata = A.indptr, A.indices, np.abs(A.data)
+    new_agg = agg.copy()
+    still = []
+    for i in np.flatnonzero(single):
+        sl = slice(indptr[i], indptr[i + 1])
+        nb, val = indices[sl], adata[sl]
+        # one-shot attach to a NON-singleton neighbor's aggregate; a
+        # singleton target would be a moving chain (with uniform weights
+        # every node points at its first neighbor and nc barely drops)
+        ok = (nb != i) & (agg[nb] >= 0) & (
+            sizes[np.maximum(agg[nb], 0)] > 1
+        )
+        if ok.any():
+            new_agg[i] = agg[nb[ok][np.argmax(val[ok])]]
+        else:
+            still.append(i)
+    if still:
+        # pure-singleton regions (e.g. an entirely mass-dominated
+        # subdomain where EVERY row is strength-isolated): rows are
+        # locality-ordered (RCM/Morton, ops/geometry.py), so packing
+        # RUNS of consecutive singleton rows into fixed-size groups
+        # yields compact spatial aggregates without any graph walk
+        still = np.asarray(still)
+        run_id = np.cumsum(np.r_[0, np.diff(still) != 1])
+        # group size 8: within each run, chunk consecutive rows
+        pos_in_run = np.arange(len(still)) - np.maximum.accumulate(
+            np.where(np.r_[True, np.diff(still) != 1],
+                     np.arange(len(still)), 0)
+        )
+        key = run_id * (len(still) + 1) + pos_in_run // 8
+        _, packed = np.unique(key, return_inverse=True)
+        new_agg[still] = nc + packed
+        nc = nc + int(packed.max()) + 1
+    used = np.zeros(nc, bool)
+    used[new_agg[new_agg >= 0]] = True
+    remap = np.full(nc, -1, np.int64)
+    remap[used] = np.arange(int(used.sum()))
+    new_agg = np.where(new_agg >= 0, remap[np.maximum(new_agg, 0)], -1)
+    return new_agg, int(used.sum())
+
+
 def _tentative_prolongator(agg: np.ndarray, nc: int, B: np.ndarray):
     """Multi-candidate SA tentative prolongator: per aggregate, an
     orthonormal basis (QR) of the near-null candidates restricted to the
@@ -455,7 +517,7 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v2"
+_BUILD_VERSION = "v3"  # v3: singleton re-attachment + stall guard
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -645,6 +707,10 @@ def build_hierarchy(
             remap[keep_agg] = np.arange(int(keep_agg.sum()))
             agg = np.where(iso, -1, remap[agg])
             nc = int(keep_agg.sum())
+        if node_size == 1:
+            # fold strength-isolated singletons into raw-graph neighbors
+            # (coarsening stalls otherwise; see _attach_singletons)
+            agg, nc = _attach_singletons(agg, nc, A)
         # relabel aggregates by their minimum fine index: fine dofs are
         # Morton-ordered, so this keeps coarse levels locality-ordered
         # too — without it the level-1 banded windows balloon ~4x
@@ -657,6 +723,10 @@ def build_hierarchy(
         ranks[np.argsort(first, kind="stable")] = np.arange(nc)
         agg = np.where(valid, ranks[np.maximum(agg, 0)], -1)
         _mark(f"level {len(levels)} n={n}: aggregate")
+        if nc * m_cand > 0.7 * n:
+            break  # coarsening stalled: further levels cannot shrink
+            # the coarse solve (the 20*coarse_max guard below refuses a
+            # pathological dense eigh loudly instead of hanging)
         Pt, B = _tentative_prolongator(agg, nc, B)
         lam_f = _lam_max_jacobi(Af)
         df = Af.diagonal()
