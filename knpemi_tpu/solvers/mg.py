@@ -461,6 +461,27 @@ class MGHierarchy:
         was measured to stall the EMI solve).  ``band_pallas`` applies
         the slabs with the Pallas window kernel (TPU only)."""
 
+        # host->device transfers ride a slow tunnel in this environment
+        # (measured ~10 MB/s-class): a multi-GB dense slab costs many
+        # minutes to upload, while its ~nnz payload is ~1%.  On
+        # accelerators, ship the nonzeros and SCATTER into device zeros
+        # (one-time ~2.9M-element scatter: ~20 ms); on CPU the direct
+        # asarray is free.
+        sparse_upload = jax.devices()[0].platform != "cpu"
+
+        def dev_slab(sT, dt):
+            if not sparse_upload:
+                return jnp.asarray(sT, dtype=dt)
+            flat = np.flatnonzero(sT)
+            vals = sT.ravel()[flat]
+            z = jnp.zeros(sT.size, dtype=dt)
+            if len(vals) == 0:
+                return z.reshape(sT.shape)
+            assert sT.size < 2**31
+            return z.at[jnp.asarray(flat, dtype=jnp.int32)].set(
+                jnp.asarray(vals, dtype=dt)
+            ).reshape(sT.shape)
+
         def dev_band(band):
             if band is None:
                 return None
@@ -468,7 +489,7 @@ class MGHierarchy:
             return dict(
                 windows=[
                     dict(
-                        slabT=jnp.asarray(sT, dtype=band_dtype or dtype),
+                        slabT=dev_slab(sT, band_dtype or dtype),
                         w0=jnp.asarray(w0),
                         w0_rows=jnp.asarray(w0 // 128, dtype=jnp.int32),
                         W=W,
