@@ -80,6 +80,46 @@ class BlockedCells:
     rest_grads: np.ndarray = None
     rest_vols: np.ndarray = None
 
+    _ARRAYS = (
+        "lidx_lane", "grads_lane", "vols_lane", "cells_chunk",
+        "rest_cells", "rest_grads", "rest_vols",
+    )
+    _STATIC = (
+        "n_dofs", "S", "W", "n_spill", "n_blocks", "C", "n_chunks",
+        "k", "dim",
+    )
+
+    def device(self, dtype=None) -> "BlockedCells":
+        """Copy with the array fields as committed device arrays (float
+        fields cast to ``dtype``).  Device-resident blockings travel as
+        jit ARGUMENTS through Simulation._chunk's payload — baked-in
+        numpy constants blow the remote-compile payload bound (HTTP 413
+        at flagship scale: ~250 MB of lane arrays)."""
+
+        def conv(name, a):
+            if a is None:
+                return None
+            flt = name in ("grads_lane", "vols_lane", "rest_grads",
+                           "rest_vols")
+            return jnp.asarray(a, dtype=dtype if (flt and dtype) else None)
+
+        return dataclasses.replace(self, **{
+            f: conv(f, getattr(self, f)) for f in self._ARRAYS
+        })
+
+
+jax.tree_util.register_pytree_node(
+    BlockedCells,
+    lambda bk: (
+        tuple(getattr(bk, f) for f in BlockedCells._ARRAYS),
+        tuple(getattr(bk, f) for f in BlockedCells._STATIC),
+    ),
+    lambda aux, children: BlockedCells(
+        **dict(zip(BlockedCells._STATIC, aux)),
+        **dict(zip(BlockedCells._ARRAYS, children)),
+    ),
+)
+
 
 def build_blocking(
     cells: np.ndarray,

@@ -227,9 +227,12 @@ class Simulation:
         """Build the lagged EMI multigrid hierarchy from the initial
         conductivity (host, once; see solvers/mg.py docstring)."""
         from ..solvers.mg import build_hierarchy_cached
+        from ..utils.logging import setup_mark as _smark
 
         c0 = set_initial_conditions(self.geom, self.ions, dtype=jnp.float64)
+        _smark("emi_mg: initial conditions")
         A_hat, s = self._emi_Ahat(c0)
+        _smark("emi_mg: assemble+equilibrate")
         hier = build_hierarchy_cached(
             A_hat,
             B=1.0 / s,
@@ -243,6 +246,7 @@ class Simulation:
                 np.float32 if self.dtype == jnp.float32 else np.float64
             ),
         )
+        _smark("emi_mg: hierarchy (build or cache hit)")
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
             self.dtype, band_dtype=self._band_dtype,
@@ -251,6 +255,7 @@ class Simulation:
         self.emi_solver.mg.fine_diag = jnp.asarray(
             self._emi_diag0, self.dtype
         )
+        _smark("emi_mg: device upload")
 
     def _refresh_payload(self, c_host):
         """Host-side hierarchy value refresh — PURE numpy/scipy (no jax),
@@ -325,9 +330,11 @@ class Simulation:
         import scipy.sparse as sp
         from ..solvers import direct as direct_mod
         from ..solvers.mg import build_hierarchy_cached
+        from ..utils.logging import setup_mark as _smark
 
         mg = {}
         for t in self.knp_sys.tags:
+            _smark(f"knp_mg tag start")
             sub = self.geom.subdomains[t]
             n = sub.n_dofs
             Dbar = float(np.mean([ion.D[t] for ion in self.ions[:-1]]))
@@ -351,10 +358,12 @@ class Simulation:
                     np.float32 if self.dtype == jnp.float32 else np.float64
                 ),
             )
+            _smark(f"knp_mg[{t}]: assemble+hierarchy")
             mg[t] = hier.device(
                 self.dtype, band_dtype=self._band_dtype,
                 band_pallas=self._use_pallas,
             )
+            _smark(f"knp_mg[{t}]: device upload")
             # lagged equilibration scale: the drift contribution to the
             # diagonal is negligible next to the 1/dt mass term, so the
             # setup operator's diagonal serves every ion/step
@@ -470,18 +479,35 @@ class Simulation:
                 return s2, (s2.emi_iters, s2.knp_iters,
                             s2.emi_ok & s2.knp_ok)
 
-            def chunk(s, emi_mg, knp_mg):
-                old = self.emi_solver.mg, self.knp_solver.mg
+            def chunk(s, emi_mg, knp_mg, payload):
+                # hierarchies AND the Pallas blocking lane arrays travel
+                # as jit arguments: closure-captured device arrays become
+                # HLO constants and the remote-compile payload exceeds
+                # the tunnel's request bound at flagship scale (HTTP 413
+                # at ~250 MB of lane constants)
+                old = (
+                    self.emi_solver.mg, self.knp_solver.mg,
+                    self.emi_sys.blocked, self.emi_sys.mem_blocked,
+                    self.knp_sys.blocked, self.knp_sys.mem_blocked,
+                )
                 self.emi_solver.mg = emi_mg
                 self.knp_solver.mg = knp_mg
+                (self.emi_sys.blocked, self.emi_sys.mem_blocked,
+                 self.knp_sys.blocked, self.knp_sys.mem_blocked) = payload
                 try:
                     return jax.lax.scan(body, s, None, length=n)
                 finally:
-                    self.emi_solver.mg, self.knp_solver.mg = old
+                    (self.emi_solver.mg, self.knp_solver.mg,
+                     self.emi_sys.blocked, self.emi_sys.mem_blocked,
+                     self.knp_sys.blocked, self.knp_sys.mem_blocked) = old
 
             self._chunk_jit[n] = jax.jit(chunk)
         jitted = self._chunk_jit[n]
-        return lambda s: jitted(s, self.emi_solver.mg, self.knp_solver.mg)
+        return lambda s: jitted(
+            s, self.emi_solver.mg, self.knp_solver.mg,
+            (self.emi_sys.blocked, self.emi_sys.mem_blocked,
+             self.knp_sys.blocked, self.knp_sys.mem_blocked),
+        )
 
     def run(
         self,

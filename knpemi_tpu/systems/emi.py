@@ -149,11 +149,12 @@ class EMISystem:
                 if bk is None:
                     ok = False
                     break
+                dbk = bk.device(dtype)
                 self.blocked[t] = dict(
-                    bk=bk,
-                    grads=jnp.asarray(bk.grads_lane, dtype=dtype),
-                    vols=jnp.asarray(bk.vols_lane, dtype=dtype),
-                    cells=jnp.asarray(bk.cells_chunk),
+                    bk=dbk,
+                    grads=dbk.grads_lane,
+                    vols=dbk.vols_lane,
+                    cells=dbk.cells_chunk,
                 )
             self.use_pallas = ok
             if ok:
@@ -173,12 +174,11 @@ class EMISystem:
                         self.offsets[sp_.cell_tag] + sp_.mem_to_ics,
                     ]).astype(np.int32)
                     self.mem_blocked[m] = dict(
-                        bk=bkm,
+                        bk=bkm.device(dtype),
                         wv=jnp.asarray(
                             bkm.vols_lane / (kf * (kf + 1)), dtype=dtype
                         ),
                         flat_idx=jnp.asarray(flat_idx),
-                        n_mem=sp_.n_dofs,
                     )
                 # static membrane mass diagonal, flat over the EMI vector
                 # (C_phi M_Gamma's diagonal never changes): precomputed so
@@ -299,7 +299,7 @@ class EMISystem:
             from ..ops import pallas_assembly as PA
 
             mb = self.mem_blocked[m]
-            n_m = mb["n_mem"]
+            n_m = mb["bk"].n_dofs  # static (pytree aux), not a tracer
             u2 = x[mb["flat_idx"]]  # [R_e x | R_i x]
             w = C_phi * PA.facet_mass_blocked(
                 u2[n_m:] - u2[:n_m], mb["bk"], mb["wv"],

@@ -165,10 +165,11 @@ class KNPSystem:
                 if bk is None:
                     ok = False
                     break
+                dbk = bk.device(dtype)
                 self.blocked[t] = dict(
-                    bk=bk,
-                    grads=jnp.asarray(bk.grads_lane, dtype=dtype),
-                    vols=jnp.asarray(bk.vols_lane, dtype=dtype),
+                    bk=dbk,
+                    grads=dbk.grads_lane,
+                    vols=dbk.vols_lane,
                 )
             self.use_pallas = ok
             if ok:
@@ -186,7 +187,7 @@ class KNPSystem:
                         NBm, NCHm, bkm.k, bkm.C
                     )[:, :, 0, :].reshape(NBm * NCHm, bkm.C)
                     self.mem_blocked[m] = dict(
-                        bk=bkm,
+                        bk=bkm.device(dtype),
                         areas=jnp.asarray(area_mc, dtype=dtype),
                     )
 

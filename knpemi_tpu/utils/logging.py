@@ -49,3 +49,20 @@ class Timer:
         if self.verbose:
             print(f"\t{self.name}: {self.elapsed:.4f}s")
         return False
+
+
+_setup_t0 = [None]
+
+
+def setup_mark(stage: str) -> None:
+    """Incremental setup-stage timing print, enabled by
+    KNPEMI_SETUP_TIMING=1 (same gate as the Simulation/build_hierarchy
+    marks): prints seconds since the previous mark."""
+    import os
+
+    if os.environ.get("KNPEMI_SETUP_TIMING") != "1":
+        return
+    t1 = time.perf_counter()
+    if _setup_t0[0] is not None:
+        print(f"[setup] {stage}: {t1 - _setup_t0[0]:.1f}s", flush=True)
+    _setup_t0[0] = t1
