@@ -68,7 +68,13 @@ class SolverOptions:
     # the f32-vs-f64 dot-product gap on TPU at ~6 VPU flops/element
     # (solvers/precision.py).  None -> auto: on for f32 runs.
     compensated_dots: Optional[bool] = None
-    mg_theta: float = 0.08
+    # SA strength threshold.  0.04, not the textbook 0.25/0.08: on the
+    # flagship tissue operator (3 subdomains, tortuosity-contrasted
+    # kappa, two membranes) theta=0.08 drops coarse-level connections
+    # that matter — EMI CG grows 12/17/21 iterations at n=24/40/56 —
+    # while 0.04 keeps the count mesh-independent at 10 and is neutral
+    # on the idealized boxes (tools/tune_flagship_mg.py sweep).
+    mg_theta: float = 0.04
     mg_coarse_max: int = 800
     mg_nu: int = 1
     # V-cycle smoother: 'jacobi' (1 damped pass, default) or 'cheby'

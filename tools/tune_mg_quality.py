@@ -77,12 +77,10 @@ def main():
 
     variants = [
         dict(theta=0.08, smoother="jacobi", degree=1, omega_p=4/3, label="jacobi th.08"),
+        dict(theta=0.04, smoother="jacobi", degree=1, omega_p=4/3, label="jacobi th.04"),
+        dict(theta=0.02, smoother="jacobi", degree=1, omega_p=4/3, label="jacobi th.02"),
         dict(theta=0.08, smoother="cheby", degree=3, omega_p=4/3, label="cheby3 th.08"),
         dict(theta=0.04, smoother="cheby", degree=3, omega_p=4/3, label="cheby3 th.04"),
-        dict(theta=0.02, smoother="cheby", degree=3, omega_p=4/3, label="cheby3 th.02"),
-        dict(theta=0.08, smoother="cheby", degree=5, omega_p=4/3, label="cheby5 th.08"),
-        dict(theta=0.04, smoother="cheby", degree=3, omega_p=4/3,
-             coarse_max=3000, label="cheby3 th.04 cmax3k"),
     ]
     for v in variants:
         t0 = time.perf_counter()
