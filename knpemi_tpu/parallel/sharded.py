@@ -947,7 +947,8 @@ class ShardedSimulation:
         from ..solvers.mg import build_hierarchy_cached
         from ..systems.coupling import set_initial_conditions
         from .sharded_mg import (
-            local_layout_gids, permute_operator, shard_hierarchy,
+            local_layout_gids, permute_operator, rcm_block_perm,
+            shard_hierarchy,
         )
 
         sim = self.sim
@@ -958,8 +959,14 @@ class ShardedSimulation:
             A_perm = permute_operator(A0, gids)
             d = A_perm.diagonal()
             d = np.where(d != 0, d, 1.0)
-            s = 1.0 / np.sqrt(np.abs(d))
-            A_hat = (sp.diags(s) @ A_perm @ sp.diags(s)).tocsr()
+            # the hierarchy lives in a per-device RCM order (narrow
+            # banded windows); the solver-facing fine_diag stays in the
+            # solver layout — ShardedMG permutes residuals in/out
+            perm = rcm_block_perm(A_perm, n, L256)
+            A_mg = A_perm[perm][:, perm].tocsr()
+            dm = d[perm]
+            s = 1.0 / np.sqrt(np.abs(dm))
+            A_hat = (sp.diags(s) @ A_mg @ sp.diags(s)).tocsr()
             hier = build_hierarchy_cached(
                 A_hat, B=1.0 / s, theta=opts.mg_theta,
                 coarse_max=opts.mg_coarse_max, nu=opts.mg_nu, banded=True,
@@ -972,6 +979,13 @@ class ShardedSimulation:
             data, meta = shard_hierarchy(hier, n, sim.dtype)
             data["fine_diag"] = jnp.asarray(
                 d.reshape(n, L256), sim.dtype
+            )
+            lperm = (
+                perm.reshape(n, L256) - (np.arange(n) * L256)[:, None]
+            ).astype(np.int32)
+            data["perm"] = jnp.asarray(lperm)
+            data["iperm"] = jnp.asarray(
+                np.argsort(lperm, axis=1).astype(np.int32)
             )
             return data, meta
 

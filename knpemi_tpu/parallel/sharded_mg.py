@@ -92,6 +92,32 @@ def permute_operator(A: sp.csr_matrix, gids: np.ndarray) -> sp.csr_matrix:
     return A_perm.tocsr()
 
 
+def rcm_block_perm(A_perm: sp.csr_matrix, n_dev: int, Bd: int) -> np.ndarray:
+    """Per-device RCM order of the local diagonal blocks.
+
+    The solver layout concatenates per-tag blocks, which interleaves the
+    EMI membrane coupling (ECS row <-> ICS column) across block-distant
+    ids — the banded windows the hierarchy builds on that order inflate
+    ~50x vs the mesh's RCM bandwidth (measured res 1: W=1152 x 104
+    blocks = 30.7M slab MACs vs the single-device ELL's 0.6M).  RCM
+    within each device's rows restores the bandwidth; the V-cycle
+    permutes in/out with one local gather per application.  Cross-device
+    couplings are not in the per-block graph, so their columns land in
+    the far-COO remainder — bounded by the partition's cut size.
+
+    Returns ``perm`` with MG slot ``i`` holding solver-layout row
+    ``perm[i]`` (a bijection of each device's ``[d*Bd, (d+1)*Bd)``).
+    """
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = np.empty(n_dev * Bd, np.int64)
+    for d in range(n_dev):
+        blk = A_perm[d * Bd : (d + 1) * Bd, d * Bd : (d + 1) * Bd].tocsr()
+        p = np.asarray(reverse_cuthill_mckee(blk, symmetric_mode=True))
+        perm[d * Bd : (d + 1) * Bd] = d * Bd + p
+    return perm
+
+
 # ---------------------------------------------------------------------------
 # host: shard a banded hierarchy
 # ---------------------------------------------------------------------------
@@ -344,26 +370,34 @@ def smg_specs(data):
     from jax.sharding import PartitionSpec as P
 
     sh = lambda x: P(AXIS, *([None] * (x.ndim - 1)))
-    return {
+    out = {
         "levels": jax.tree.map(sh, data["levels"]),
         "p": jax.tree.map(sh, data["p"]),
         "pt": jax.tree.map(sh, data["pt"]),
         "coarse": jax.tree.map(lambda x: P(), data["coarse"]),
         "fine_diag": sh(data["fine_diag"]),
     }
+    for k in ("perm", "iperm"):
+        if k in data:
+            out[k] = sh(data[k])
+    return out
 
 
 def squeeze_smg(data):
     """Drop the size-1 device axis shard_map leaves on sharded leaves
     (replicated coarse factors arrive whole)."""
     sq = lambda tree: jax.tree.map(lambda x: x[0], tree)
-    return {
+    out = {
         "levels": sq(data["levels"]),
         "p": sq(data["p"]),
         "pt": sq(data["pt"]),
         "coarse": data["coarse"],
         "fine_diag": data["fine_diag"][0],
     }
+    for k in ("perm", "iperm"):
+        if k in data:
+            out[k] = data[k][0]
+    return out
 
 
 class ShardedMG:
@@ -388,7 +422,14 @@ class ShardedMG:
         L = r_loc.shape[0]
         pad = self.meta.levels[0].Bd - L
         r = jnp.pad(r_loc, (0, pad)) if pad else r_loc
+        # device-local RCM layout of the hierarchy (rcm_block_perm): one
+        # O(Bd) gather in and out of MG order per application
+        perm = self.data.get("perm")
+        if perm is not None:
+            r = r[perm]
         z = self._cycle(0, r)
+        if perm is not None:
+            z = z[self.data["iperm"]]
         return z[:L] if pad else z
 
     def apply_batch(self, A0b, R):

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--res", type=int, default=1)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--rhs-only", action="store_true",
+                    help="run only the rhs-isolation variants")
     args = ap.parse_args()
 
     import jax
@@ -74,11 +76,12 @@ def main():
         finally:
             sim.opts = base_opts
 
-    shard_variant("sharded full")
-    shard_variant("sharded emi_off", rtol_emi=1e30, atol_emi=1e30)
-    shard_variant("sharded both_off", rtol_emi=1e30, atol_emi=1e30,
-                  rtol_knp=1e30, atol_knp=1e30)
-    shard_variant("sharded gathered_mg", dmg=False)
+    if not args.rhs_only:
+        shard_variant("sharded full")
+        shard_variant("sharded emi_off", rtol_emi=1e30, atol_emi=1e30)
+        shard_variant("sharded both_off", rtol_emi=1e30, atol_emi=1e30,
+                      rtol_knp=1e30, atol_knp=1e30)
+        shard_variant("sharded gathered_mg", dmg=False)
 
     # ---- deep ablations: stub out whole stages at trace time ----------
     import jax.numpy as jnp
@@ -122,12 +125,54 @@ def main():
             for m, fn in saved.items():
                 sim.mem_models[m].step = fn
 
-    # no EMI work at all (incl. kappa/prepare/rhs)
-    with_stubs("stub emi", True, False)
-    # no linear-solver work at all: ODE stage + refresh + plumbing
-    with_stubs("stub emi+knp", True, True)
-    # plumbing + refresh only
-    with_stubs("stub emi+knp+ode", True, True, no_ode=True)
+    if not args.rhs_only:
+        # no EMI work at all (incl. kappa/prepare/rhs)
+        with_stubs("stub emi", True, False)
+        # no linear-solver work at all: ODE stage + refresh + plumbing
+        with_stubs("stub emi+knp", True, True)
+        # plumbing + refresh only
+        with_stubs("stub emi+knp+ode", True, True, no_ode=True)
+
+    # keep the system math (rhs/gradphi), skip solver machinery: splits
+    # "weak-form setup" from "equilibrate/Krylov/MG plumbing"
+    class StubEMIKeepRHS:
+        def __init__(self, sys_, **kw):
+            self.sys = sys_
+
+        def solve(self, c, phi_M, I_ch=None, x0=None):
+            kappa = self.sys.kappa(c)
+            self.sys.prepare(kappa)
+            b = self.sys.rhs(c, phi_M, I_ch)
+            xs = self.sys.split(b)
+            x0 = {t: x0[t] + 0.0 * xs[t] for t in x0}
+            return x0, _info()
+
+    class StubKNPKeepRHS:
+        def __init__(self, sys_, **kw):
+            self.sys = sys_
+            self.ns = sys_.base.n_solved
+
+        def solve(self, c, phi, phi_M, I_ch, source_gate=None, x0=None):
+            rhs = self.sys.rhs(c, phi, phi_M, I_ch, source_gate)
+            gp = self.sys.gradphi_cells(phi)
+            out = {}
+            for t, v in c.items():
+                z = 0.0 * rhs[t] + 0.0 * gp[t]["cell"].sum()
+                out[t] = v[: self.ns] + z
+            return out, _info()
+
+    sapi.EMISolver = StubEMIKeepRHS
+    sapi.KNPSolver = StubKNP
+    try:
+        shard_variant("emi rhs only")
+    finally:
+        sapi.EMISolver, sapi.KNPSolver = real_emi, real_knp
+    sapi.EMISolver = StubEMI
+    sapi.KNPSolver = StubKNPKeepRHS
+    try:
+        shard_variant("knp rhs only")
+    finally:
+        sapi.EMISolver, sapi.KNPSolver = real_emi, real_knp
 
 
 if __name__ == "__main__":
