@@ -916,6 +916,12 @@ class ShardedSimulation:
 
         s0 = self.init_state()
         sspec = state_spec(s0)
+        from jax.sharding import NamedSharding
+
+        self._state_shardings = jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec), sspec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
         from .sharded_mg import smg_specs
 
         emi_smg_spec = P() if self.emi_smg is None else smg_specs(self.emi_smg)
@@ -1022,7 +1028,12 @@ class ShardedSimulation:
         return self.pad_state(self.sim.init_state())
 
     def pad_state(self, s):
-        """Global SimState -> padded-global dof arrays (N*B per tag)."""
+        """Global SimState -> padded-global dof arrays (N*B per tag),
+        placed with the step's OUTPUT shardings: otherwise the chunk's
+        first call compiles for unsharded inputs, its output comes back
+        mesh-sharded, and the SECOND call recompiles the whole step —
+        ~50 s through the remote-TPU tunnel at res 1, misread as an
+        83x per-step overhead until per-call timing isolated it."""
         c = {
             t: jnp.pad(
                 s.c[t],
@@ -1037,7 +1048,10 @@ class ShardedSimulation:
             )
             for t in s.phi
         }
-        return s._replace(c=c, phi=phi)
+        out = s._replace(c=c, phi=phi)
+        if getattr(self, "_state_shardings", None) is not None:
+            out = jax.device_put(out, self._state_shardings)
+        return out
 
     def unpad_state(self, s):
         c = {t: s.c[t][:, : self.parts[t].n_dofs] for t in s.c}

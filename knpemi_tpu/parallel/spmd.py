@@ -189,7 +189,15 @@ class SpmdSimulation:
 
     # ------------------------------------------------------------------
     def init_state(self) -> SimState:
-        return self.sim.init_state()
+        # place with the step's output sharding (replicated over the
+        # mesh): otherwise the chunk's second call recompiles for the
+        # re-laid-out state — ~50 s/compile through the remote-TPU
+        # tunnel (same fix as ShardedSimulation.pad_state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            self.sim.init_state(), NamedSharding(self.mesh, P())
+        )
 
     def step(self, state: SimState) -> SimState:
         return self._step_sharded(

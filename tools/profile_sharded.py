@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rhs-only", action="store_true",
                     help="run only the rhs-isolation variants")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filter of variant labels")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +67,10 @@ def main():
     single_ms = ms
 
     def shard_variant(label, dmg=True, **opt_kw):
+        if args.only and not any(
+            s.strip() in label for s in args.only.split(",")
+        ):
+            return
         sim.opts = dataclasses.replace(base_opts, **opt_kw)
         try:
             sh = ShardedSimulation(sim, devices=jax.devices()[:1],
