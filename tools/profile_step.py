@@ -63,6 +63,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="3d")
     ap.add_argument("--res", type=int, default=1)
+    ap.add_argument("--mesh-n", type=int, default=64,
+                    help="flagship tissue cells per axis")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
 
@@ -73,6 +75,23 @@ def main():
         from run_2d import build_simulation
 
         sim = build_simulation(resolution=args.res)
+    elif args.case == "flagship":
+        # astrocyte-class tissue scenario (bench.py's flagship case)
+        sys.path.insert(
+            0,
+            str(Path(__file__).resolve().parent.parent
+                / "examples" / "astrocyte"),
+        )
+        from run_stim_duration import build_simulation as build_astro
+        from knpemi_tpu.sim.config import load_config, DEFAULTS
+
+        cfg = dict(DEFAULTS)
+        cfg.update(load_config(
+            Path(__file__).resolve().parent.parent
+            / "examples/astrocyte/config_files/baseline.yml"
+        ))
+        cfg["mesh_n"] = args.mesh_n
+        sim = build_astro(cfg)
     else:
         from run_3d import build_simulation
 
