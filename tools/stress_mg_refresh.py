@@ -59,6 +59,13 @@ def main():
     ap.add_argument("--f-scale", type=float, default=4.0,
                     help="multiplier on the baseline source strength, to "
                          "reach the full reference excursion in --steps")
+    ap.add_argument("--duty", type=float, default=None,
+                    help="override the source duty cycle (1.0 = always on; "
+                         "the baseline's 1ms/10ms pulsing lets [K]e decay "
+                         "back between pulses, which defeats a SHORT stress "
+                         "run — the reference reaches 9.3 mM only after "
+                         "300 ms of pulsing)")
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     from run_stim_duration import build_simulation
@@ -70,6 +77,9 @@ def main():
         / "examples/astrocyte/config_files/baseline.yml"))
     cfg["mesh_n"] = args.mesh_n
     cfg["f_value"] = float(cfg["f_value"]) * args.f_scale
+    if args.duty is not None:
+        cfg["pulse_width"] = float(cfg["period"]) * args.duty
+        cfg["delay"] = 0.0
     cfg["solver"] = {"mg_refresh_every": 0}
 
     t0 = time.perf_counter()
@@ -90,7 +100,8 @@ def main():
         state = sim.init_state()
         t1 = time.perf_counter()
         state, it_e, _ = sim.run(state, args.steps,
-                                 save_every=args.chunk, observer=observer)
+                                 save_every=args.chunk, observer=observer,
+                                 verbose=args.verbose)
         wall = time.perf_counter() - t1
         return np.asarray(it_e), list(kmax_trace), wall
 
