@@ -37,31 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 @functools.partial(jax.jit, static_argnames=("NB", "R", "W", "interpret"))
 def _banded_mv_call(w0_rows, x2, slabT, NB, R, W, interpret):
     J = W // 128
-    # bf16 slabs (halved HBM traffic, preconditioner-internal use only)
-    # accumulate in f32 — Mosaic requires a 32-bit matmul acc — and run
-    # at native bf16 precision (fp32 contract precision on bf16 operands
-    # is rejected, "Bad lhs type")
+    # bf16 slabs halve the HBM slab traffic (storage dtype only).  The
+    # CONTRACTION stays f32: the slab block is upcast after the read and
+    # x is never rounded — rounding x made the preconditioner an
+    # input-dependent (nonlinear) map and cost 19 -> 137 CG iterations
+    # ("coarse corrections cancel below bf16 mantissa", RESULTS.md);
+    # a bf16-rounded-but-FIXED operator applied in f32 is a plain 0.4%
+    # operator perturbation that CG absorbs.
     is_bf16 = slabT.dtype == jnp.bfloat16
-    prec = (
-        jax.lax.Precision.DEFAULT if is_bf16 else jax.lax.Precision.HIGHEST
-    )
 
     def kernel(w0r_ref, x_ref, s_ref, o_ref):
         b = pl.program_id(0)
         row0 = w0r_ref[b]
         acc = jnp.zeros((1, R), jnp.float32)
         for j in range(J):
-            # the x table stays f32 (bf16 tables break the dynamic
-            # sublane slice: 16-row tile granularity); cast the sliced
-            # row to match a bf16 slab
             xrow = x_ref[pl.ds(row0 + j, 1), :]
-            if is_bf16:
-                xrow = xrow.astype(jnp.bfloat16)
             sblk = s_ref[j * 128:(j + 1) * 128, :]
+            if is_bf16:
+                sblk = sblk.astype(jnp.float32)
             acc = acc + jax.lax.dot_general(
                 xrow, sblk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec,
+                precision=jax.lax.Precision.HIGHEST,
             )
         o_ref[0] = acc
 
@@ -97,10 +94,9 @@ def _banded_mv_call_batch(w0_rows, x2, slabT, NB, R, W, B, interpret):
     slab, so B solves cost ~1x the single-vector apply (the KNP ion
     batch reads each V-cycle level's slab once, not once per ion)."""
     J = W // 128
+    # bf16 slabs: storage dtype only — upcast the block, keep x f32
+    # (see _banded_mv_call for why rounding x is forbidden)
     is_bf16 = slabT.dtype == jnp.bfloat16
-    prec = (
-        jax.lax.Precision.DEFAULT if is_bf16 else jax.lax.Precision.HIGHEST
-    )
 
     def kernel(w0r_ref, x_ref, s_ref, o_ref):
         b = pl.program_id(0)
@@ -108,15 +104,15 @@ def _banded_mv_call_batch(w0_rows, x2, slabT, NB, R, W, B, interpret):
         accs = [jnp.zeros((1, R), jnp.float32) for _ in range(B)]
         for j in range(J):
             xrow = x_ref[pl.ds(row0 + j, 1), :]  # (1, B*128)
-            if is_bf16:
-                xrow = xrow.astype(jnp.bfloat16)
             sblk = s_ref[j * 128:(j + 1) * 128, :]
+            if is_bf16:
+                sblk = sblk.astype(jnp.float32)
             for bb in range(B):
                 accs[bb] = accs[bb] + jax.lax.dot_general(
                     xrow[:, bb * 128:(bb + 1) * 128], sblk,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=prec,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
         o_ref[0] = jnp.concatenate(accs, axis=0)
 

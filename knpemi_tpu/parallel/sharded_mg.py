@@ -348,9 +348,12 @@ def _smv(op_data, wins: List[_WinMeta], f_max: int, Bd: int, Bc: int,
         else:
             xp = jnp.pad(xbuf, (0, W))
             idx = win["w0"][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-            xw = xp[idx].astype(slabT.dtype)  # (NBloc, W)
+            xw = xp[idx]  # (NBloc, W)
+            # bf16 slabs: storage only — upcast after the HBM read,
+            # never round x (see ops/pallas_banded.py)
             ys = jax.lax.dot_general(
-                slabT.reshape(NBloc, W, R_BLOCK), xw[:, :, None],
+                slabT.reshape(NBloc, W, R_BLOCK).astype(x_loc.dtype),
+                xw[:, :, None],
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=x_loc.dtype,

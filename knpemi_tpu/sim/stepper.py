@@ -91,12 +91,16 @@ class SolverOptions:
     # on CPU the ~100x FLOP inflation is compute-bound and loses to ELL).
     # None -> auto by platform; KNPEMI_BANDED=0/1 overrides.
     mg_banded: Optional[bool] = None
-    # store the banded slabs in bfloat16.  Measured: halves V-cycle HBM
-    # traffic but destroys EMI convergence (19 -> 137 CG iterations at
-    # 3d res 1 — the equilibrated EMI operator's coarse corrections
-    # cancel below bf16's 8 mantissa bits; KNP was unaffected).  Default
-    # OFF; KNPEMI_BAND_BF16=1 or this flag opts in (e.g. KNP-only
-    # experiments).
+    # store the FINE-level smoothing slab in bfloat16 (storage dtype
+    # only: the contraction upcasts after the HBM read, so the
+    # preconditioner stays a fixed linear map — rounding x instead
+    # stalled CG 19 -> 137; rounding the COARSE Galerkin levels breaks
+    # B-compatible near-null annihilation and stalls outright).
+    # Measured on TPU: the halved fine-slab read does NOT pay for the
+    # extra EMI iterations the 0.4% operator perturbation costs
+    # (res 1: 64.8 ms/step EMI 10 vs f32 ~55/EMI 8; res 2: 636 ms
+    # EMI 12 vs 585/EMI 9).  Default OFF; KNPEMI_BAND_BF16=1 or this
+    # flag opts in.
     mg_band_bf16: Optional[bool] = None
 
 

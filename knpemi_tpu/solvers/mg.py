@@ -456,10 +456,19 @@ class MGHierarchy:
     gamma: int = 1
 
     def device(self, dtype, band_dtype=None, band_pallas=False):
-        """``band_dtype`` is the storage/compute dtype of the banded slabs
-        (default: ``dtype``; bf16 is opt-in — it halves HBM traffic but
-        was measured to stall the EMI solve).  ``band_pallas`` applies
-        the slabs with the Pallas window kernel (TPU only)."""
+        """``band_dtype`` is the STORAGE dtype of the FINE-level
+        smoothing slab (default: ``dtype``).  bf16 halves the V-cycle's
+        dominant HBM read; the contraction upcasts to the run dtype
+        after the read, so the preconditioner stays a fixed linear
+        operator (the original bf16-COMPUTE variant rounded x and
+        stalled CG 19->137 iterations).  The cast applies ONLY to
+        levels[0].a_band: the Galerkin coarse operators and P/Pt are
+        cancellation-sensitive — B-compatible lumping annihilates the
+        near-null exactly, and a 0.4% entry rounding of the coarse
+        hierarchy measurably destroys it (EMI 9 -> cap at 3-D res 2
+        with all-level bf16; fine-only perturbs the SMOOTHER, which is
+        harmless).  ``band_pallas`` applies the slabs with the Pallas
+        window kernel (TPU only)."""
 
         # host->device transfers ride a slow tunnel in this environment
         # (measured ~10 MB/s-class): a multi-GB dense slab costs many
@@ -482,14 +491,14 @@ class MGHierarchy:
                 jnp.asarray(vals, dtype=dt)
             ).reshape(sT.shape)
 
-        def dev_band(band):
+        def dev_band(band, slab_dt=None):
             if band is None:
                 return None
             windows, fr, fc, fv, n, m = band
             return dict(
                 windows=[
                     dict(
-                        slabT=dev_slab(sT, band_dtype or dtype),
+                        slabT=dev_slab(sT, slab_dt or dtype),
                         w0=jnp.asarray(w0),
                         w0_rows=jnp.asarray(w0 // 128, dtype=jnp.int32),
                         W=W,
@@ -503,7 +512,8 @@ class MGHierarchy:
             )
 
         out = []
-        for lv in self.levels:
+        for ilv, lv in enumerate(self.levels):
+            fine_dt = band_dtype if ilv == 0 else None
             steps = (
                 lv.steps if lv.steps is not None
                 else np.array([lv.omega])
@@ -521,7 +531,7 @@ class MGHierarchy:
                     p_vals=jnp.asarray(lv.p_vals, dtype=dtype),
                     pt_cols=jnp.asarray(lv.pt_cols),
                     pt_vals=jnp.asarray(lv.pt_vals, dtype=dtype),
-                    a_band=dev_band(lv.a_band),
+                    a_band=dev_band(lv.a_band, slab_dt=fine_dt),
                     p_band=dev_band(lv.p_band),
                     pt_band=dev_band(lv.pt_band),
                 )
@@ -826,9 +836,12 @@ def _banded_mv(band, x):
                 win["w0"][:, None]
                 + jnp.arange(W, dtype=win["w0"].dtype)[None, :]
             )
-            xw = xp[idx].astype(slabT.dtype)  # (NB, W) window gather
+            xw = xp[idx]  # (NB, W) window gather
+            # bf16 slabs are a STORAGE dtype: upcast after the (bf16)
+            # HBM read and contract in x's dtype — rounding x instead
+            # makes the preconditioner nonlinear and stalls CG
             ys = jax.lax.dot_general(
-                slabT.reshape(NB, W, R), xw[:, :, None],
+                slabT.reshape(NB, W, R).astype(x.dtype), xw[:, :, None],
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=x.dtype,
@@ -865,9 +878,9 @@ def _banded_mv_batch(band, X):
                 win["w0"][:, None]
                 + jnp.arange(W, dtype=win["w0"].dtype)[None, :]
             )
-            xw = xp[:, idx].astype(slabT.dtype)  # (B, NB, W)
+            xw = xp[:, idx]  # (B, NB, W)
             ys = jnp.einsum(
-                "nwr,bnw->bnr", slabT.reshape(NB, W, R), xw,
+                "nwr,bnw->bnr", slabT.reshape(NB, W, R).astype(X.dtype), xw,
                 precision=jax.lax.Precision.DEFAULT,
             ).reshape(X.shape[0], NB * R)[:, :n].astype(X.dtype)
         y = ys if y is None else y + ys
