@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .rates import exprel_inv
 from .registry import ODEModel, register_model
 
 STATE_NAMES = (
@@ -116,11 +117,13 @@ def _currents_all(t, y, p):
 
 def rhs(t, y, p):
     m, h, n, Vn = y[_S["m"]], y[_S["h"]], y[_S["n"]], y[_S["V_n"]]
-    alpha_m = 0.1 * (Vn + 40.0) / (1.0 - jnp.exp(-(Vn + 40.0) / 10.0))
+    # stable x/(1-exp(-x/10)) form — 0/0 NaN window at Vn = -40/-55 in
+    # f32 (see models/rates.py)
+    alpha_m = 0.1 * 10.0 * exprel_inv(-(Vn + 40.0) / 10.0)
     beta_m = 4.0 * jnp.exp(-(Vn + 65.0) / 18.0)
     alpha_h = 0.07 * jnp.exp(-(Vn + 65.0) / 20.0)
     beta_h = 1.0 / (1.0 + jnp.exp(-(Vn + 35.0) / 10.0))
-    alpha_n = 0.01 * (Vn + 55.0) / (1.0 - jnp.exp(-(Vn + 55.0) / 10.0))
+    alpha_n = 0.01 * 10.0 * exprel_inv(-(Vn + 55.0) / 10.0)
     beta_n = 0.125 * jnp.exp(-(Vn + 65.0) / 80.0)
 
     i_Na_n, i_K_n, i_Cl_n, i_Na_g, i_K_g, i_Cl_g = _currents_all(t, y, p)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .rates import exprel_inv
 from .registry import ODEModel, register_model
 
 STATE_NAMES = ("m", "h", "n", "V")
@@ -88,11 +89,13 @@ def _gates(V):
     """HH rate functions; V in volts, rates in 1/s (the classic mV/ms rates
     scaled by 1e3 with the -65 mV resting shift)."""
     u = 1e3 * (V + 65.0e-3)  # membrane potential in shifted mV
-    alpha_m = 1e3 * 0.1 * (25.0 - u) / (jnp.exp((25.0 - u) / 10.0) - 1.0)
+    # stable x/(exp(x)-1) form: the raw expression is a 0/0 NaN window
+    # at u = 25 / u = 10 in f32 (see models/rates.py)
+    alpha_m = 1e3 * 0.1 * 10.0 * exprel_inv((25.0 - u) / 10.0)
     beta_m = 1e3 * 4.0 * jnp.exp(-u / 18.0)
     alpha_h = 1e3 * 0.07 * jnp.exp(-u / 20.0)
     beta_h = 1e3 / (jnp.exp((30.0 - u) / 10.0) + 1.0)
-    alpha_n = 1e3 * 0.01 * (10.0 - u) / (jnp.exp((10.0 - u) / 10.0) - 1.0)
+    alpha_n = 1e3 * 0.01 * 10.0 * exprel_inv((10.0 - u) / 10.0)
     beta_n = 1e3 * 0.125 * jnp.exp(-u / 80.0)
     return (alpha_m, beta_m), (alpha_h, beta_h), (alpha_n, beta_n)
 
@@ -181,11 +184,12 @@ for _name, _v in dict(
 def _gates_mv(V):
     """Classic HH rates, V in mV, rates in 1/ms (astrocyte mm_hh.py:163-170).
     Algebraically identical to :func:`_gates` modulo the unit scaling."""
-    alpha_m = 0.1 * (V + 40.0) / (1.0 - jnp.exp(-(V + 40.0) / 10.0))
+    # x/(1-exp(-x/10)) == 10 * exprel_inv(-x/10): stable at V = -40/-55
+    alpha_m = 0.1 * 10.0 * exprel_inv(-(V + 40.0) / 10.0)
     beta_m = 4.0 * jnp.exp(-(V + 65.0) / 18.0)
     alpha_h = 0.07 * jnp.exp(-(V + 65.0) / 20.0)
     beta_h = 1.0 / (1.0 + jnp.exp(-(V + 35.0) / 10.0))
-    alpha_n = 0.01 * (V + 55.0) / (1.0 - jnp.exp(-(V + 55.0) / 10.0))
+    alpha_n = 0.01 * 10.0 * exprel_inv(-(V + 55.0) / 10.0)
     beta_n = 0.125 * jnp.exp(-(V + 65.0) / 80.0)
     return (alpha_m, beta_m), (alpha_h, beta_h), (alpha_n, beta_n)
 

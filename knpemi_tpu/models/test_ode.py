@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .rates import exprel_inv
 from .registry import ODEModel, register_model
 
 STATE_NAMES = ("m", "h", "n", "V")
@@ -64,11 +65,13 @@ _P = {n: i for i, n in enumerate(PARAM_NAMES)}
 
 def _gates(V):
     u = V + 65.0
-    alpha_m = 0.1 * (25.0 - u) / (jnp.exp((25.0 - u) / 10.0) - 1.0)
+    # stable x/(exp(x)-1) form — 0/0 NaN window at u = 25/10 in f32
+    # (see models/rates.py)
+    alpha_m = 0.1 * 10.0 * exprel_inv((25.0 - u) / 10.0)
     beta_m = 4.0 * jnp.exp(-u / 18.0)
     alpha_h = 0.07 * jnp.exp(-u / 20.0)
     beta_h = 1.0 / (jnp.exp((30.0 - u) / 10.0) + 1.0)
-    alpha_n = 0.01 * (10.0 - u) / (jnp.exp((10.0 - u) / 10.0) - 1.0)
+    alpha_n = 0.01 * 10.0 * exprel_inv((10.0 - u) / 10.0)
     beta_n = 0.125 * jnp.exp(-u / 80.0)
     return (alpha_m, beta_m), (alpha_h, beta_h), (alpha_n, beta_n)
 
