@@ -283,8 +283,20 @@ class Simulation:
                 acc = acc + (ion.z**2) * ion.D[t] * np.asarray(c_host[t][k])
             kappa[t] = F * psi * acc
         A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
-        d = A0.diagonal()
-        diag0 = np.where(d != 0, d, 1.0)
+        # equilibrate with the FROZEN setup-time scale, not a fresh one.
+        # The frozen transfer operators were smoothed to reproduce
+        # B_old = 1/s_old; the raw operator's null space is the constant
+        # vector for ANY kappa, so S_old A_new S_old still has exactly
+        # B_old as its near-null and the frozen P keeps annihilating it.
+        # Re-equilibrating with s_new moves the near-null to 1/s_new,
+        # which the frozen P does NOT reproduce — the refreshed V-cycle
+        # then degrades below the fully STALE hierarchy (measured on the
+        # flagship staleness stress: EMI 7 -> a maxiter-capped step
+        # right after the first refresh install; mesh_n 32 showed the
+        # mild version, 6 -> 7 after each install).  The solver
+        # equilibrates each solve with the same lagged fine_diag, so
+        # hierarchy and system stay in one scaled space.
+        diag0 = self._emi_diag0
         s = 1.0 / np.sqrt(np.abs(diag0))
         A_hat = (sp.diags(s) @ A0 @ sp.diags(s)).tocsr()
         try:

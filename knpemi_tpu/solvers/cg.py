@@ -76,13 +76,20 @@ def cg(
     bnorm = jnp.sqrt(dot(b, b))
     tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
 
+    # stagnation window: stop when the residual has not improved for
+    # this many iterations.  60 suffices in f32, where the guard's
+    # purpose is the attainable floor eps*cond(A) > rtol; in f64 an
+    # ill-conditioned UNpreconditioned solve can plateau legitimately
+    # for >100 iterations before the next drop (measured: the MMS
+    # ladder's deflation-CG at M>=400 exited falsely at 61 iterations
+    # with an O(1) error), so the window is wider there
+    stall = 60 if jnp.finfo(b.dtype).bits <= 32 else 300
+
     def cond(state):
         _, r, _, _, _, k, best_rr, best_k = state
         rr = dot(r, r)
-        # stop on convergence, iteration cap, or stagnation (no residual
-        # improvement for 60 iterations: the dtype's attainable floor —
-        # relevant for f32 runs where eps*cond(A) exceeds rtol)
-        return (rr > tol2) & (k < maxiter) & (k - best_k < 60)
+        # stop on convergence, iteration cap, or stagnation
+        return (rr > tol2) & (k < maxiter) & (k - best_k < stall)
 
     def safe_div(a, b):
         ok = b != 0

@@ -66,11 +66,69 @@ def main():
         c0 = set_initial_conditions(geom, ions)
         phiM0 = {m: jnp.zeros(sp.n_dofs) for m, sp in geom.membranes.items()}
         if args.iterative:
-            es = create_solver_emi(esys, rtol=1e-10, maxiter=20000)
-            ks = create_solver_knp(ksys, rtol=1e-10, maxiter=20000)
+            # production-grade preconditioning: without the SA-AMG
+            # hierarchies the KNP GMRES stagnates at rtol 1e-10 beyond
+            # M~200 (measured: 20010 iterations at M=400, errors
+            # solver-dominated at O(1)) — same recipe as
+            # sim/stepper.py::_setup_emi_mg/_setup_knp_mg, f64 ELL
+            import scipy.sparse as spr
+            from knpemi_tpu.solvers.mg import build_hierarchy_cached
+            from knpemi_tpu.solvers.direct import (
+                assemble_emi_csr, _mass_coo, _stiffness_coo, _coo_accumulate,
+            )
+
+            # EMI hierarchy on the MASKED operator: the MMS variant
+            # solves with symmetric Dirichlet elimination (identity on
+            # bc rows, systems/emi.py), so the hierarchy must be built
+            # from the same masked matrix — a hierarchy on the raw
+            # assembled operator WORSENS CG (239 vs 61 its at M=100,
+            # measured), and without any MG the deflation-CG fallback
+            # stalls at M>=400 (false 61-iteration exit, O(1) error)
+            kappa0 = {t: np.asarray(v) for t, v in esys.kappa(c0).items()}
+            A0 = assemble_emi_csr(esys, kappa0).tocsr()
+            if esys.mms is not None and esys.mms.dirichlet_dofs is not None:
+                bc = esys.offsets[0] + np.asarray(esys.mms.dirichlet_dofs)
+                msk = np.ones(A0.shape[0])
+                msk[bc] = 0.0
+                Dm = spr.diags(msk)
+                A0 = (Dm @ A0 @ Dm + spr.diags(1.0 - msk)).tocsr()
+            d0 = A0.diagonal()
+            d0 = np.where(d0 != 0, d0, 1.0)
+            s0 = 1.0 / np.sqrt(np.abs(d0))
+            emi_hier = build_hierarchy_cached(
+                (spr.diags(s0) @ A0 @ spr.diags(s0)).tocsr(),
+                B=1.0 / s0, theta=0.04, banded=False, smoother="jacobi",
+            )
+            emi_mg = emi_hier.device(jnp.float64)
+            emi_mg.fine_diag = jnp.asarray(d0, jnp.float64)
+
+            knp_mg = {}
+            for t, sub in geom.subdomains.items():
+                Dbar = float(np.mean([ion.D[t] for ion in ions[:-1]]))
+                r1, c1, v1 = _mass_coo(sub.cells, sub.vols, 1.0 / p.dt)
+                r2, c2, v2 = _stiffness_coo(
+                    sub.cells, sub.grads, sub.vols, coef_cell=Dbar
+                )
+                Ak = _coo_accumulate([r1, r2], [c1, c2], [v1, v2], sub.n_dofs)
+                dk = Ak.diagonal()
+                dk = np.where(dk != 0, dk, 1.0)
+                sk = 1.0 / np.sqrt(np.abs(dk))
+                hier_k = build_hierarchy_cached(
+                    (spr.diags(sk) @ Ak @ spr.diags(sk)).tocsr(),
+                    B=1.0 / sk, theta=0.04, banded=False, smoother="jacobi",
+                )
+                knp_mg[t] = hier_k.device(jnp.float64)
+                knp_mg[t].fine_diag = jnp.asarray(dk, jnp.float64)
+
+            es = create_solver_emi(esys, rtol=1e-10, maxiter=20000, mg=emi_mg)
+            ks = create_solver_knp(ksys, rtol=1e-10, maxiter=20000, mg=knp_mg)
             phi, ie = es.solve(c0, phiM0)
             cK, ik = ks.solve(c0, phi, phiM0)
             solver_note = f"emi_it={int(ie.iters)} knp_it={int(ik.iters)}"
+            if not bool(ie.converged):
+                solver_note += " EMI-NOT-CONVERGED"
+            if not bool(ik.converged):
+                solver_note += " KNP-NOT-CONVERGED"
         else:
             x = D.solve_emi_direct(esys, c0, phiM0)
             phi = esys.split(jnp.asarray(x))
