@@ -13,9 +13,22 @@ Krylov solves, and the algebraic refresh — i.e. "assembly + solve per
 timestep" (everything is matrix-free, so assembly is inside the solves).
 
 The baseline ratio is measured against the same step executed on the
-host CPU backend in this process (the reference stack is CPU
-PETSc+MPI; BASELINE.json publishes no absolute numbers, so the
-self-measured CPU run is the available stand-in).
+host CPU backend (the reference stack is CPU PETSc+MPI; BASELINE.json
+publishes no absolute numbers, so the self-measured CPU run is the
+available stand-in).  A secondary `vs_baseline_f64` leg runs the same
+step at f64 on CPU — the reference stack's arithmetic (PETSc KSP at
+rtol 1e-7, serial LSODA sweeps is f64-only), so that ratio is the
+closest proxy for the literal BASELINE.md gate.
+
+Process model: the parent NEVER initializes a backend.  Every case runs
+in its own subprocess (`bench.py --child <case>`), sequentially — one
+TPU process at a time (two concurrent processes on the tunnel fault
+each other), and each case starts with a clean HBM arena (running the
+565k-dof res-2 case and the 840k-dof flagship in one process leaves the
+earlier cases' executables+constants resident and the flagship dies
+with RESOURCE_EXHAUSTED — observed).  Subprocess wall-clock timeouts
+replace in-process SIGALRM (which JAX runtime threads can swallow, see
+TODO_NEXT.md).
 
 Environment knobs:
   KNPEMI_BENCH_CASE  = 3d|2d   (default 3d)
@@ -23,41 +36,19 @@ Environment knobs:
   KNPEMI_BENCH_STEPS = int     (default 10 timed steps)
   KNPEMI_BENCH_CPU   = 0|1     (default 1: measure the CPU baseline)
   KNPEMI_BENCH_CPU_STEPS = int (default 5)
+  KNPEMI_BENCH_BIG / KNPEMI_BENCH_FLAGSHIP / KNPEMI_BENCH_CPU_F64 = 0|1
+  KNPEMI_BENCH_CASE_TIMEOUT = seconds for the big/flagship children
 """
 
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent / "examples" / "idealized"))
-
-
-def _with_alarm(seconds, fn):
-    """Bound one bench case by a wall-clock alarm: the remote-TPU tunnel
-    sporadically hangs on compile/transfer (TODO_NEXT.md environment
-    quirks), and the big/flagship cases must not stop the core metric's
-    JSON line from printing."""
-
-    def _raise(signum, frame):
-        from knpemi_tpu.utils.critical import in_critical_section
-
-        if in_critical_section():
-            # mid-persist of a multi-minute artifact (e.g. the MG disk
-            # cache): let it finish, re-check shortly
-            signal.alarm(30)
-            return
-        raise TimeoutError(f"case timed out after {seconds}s")
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-    try:
-        return fn()
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+_HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE / "examples" / "idealized"))
 
 
 def _dofs_per_step(sim):
@@ -83,24 +74,30 @@ def _time_steps(sim, n_steps):
     return wall, state, ce, ck
 
 
-def main():
+def _make_idealized():
     case = os.environ.get("KNPEMI_BENCH_CASE", "3d")
-    steps = int(os.environ.get("KNPEMI_BENCH_STEPS", "10"))
-    cpu_steps = int(os.environ.get("KNPEMI_BENCH_CPU_STEPS", "5"))
-    do_cpu = os.environ.get("KNPEMI_BENCH_CPU", "1") == "1"
-
     if case == "2d":
         from run_2d import build_simulation
 
         res = int(os.environ.get("KNPEMI_BENCH_RES", "4"))
-        make = lambda: build_simulation(resolution=res)
-    else:
-        from run_3d import build_simulation
+        return case, res, lambda: build_simulation(resolution=res)
+    from run_3d import build_simulation
 
-        res = int(os.environ.get("KNPEMI_BENCH_RES", "1"))
-        make = lambda: build_simulation(resolution=res, g_syn_bar=10.0)
+    res = int(os.environ.get("KNPEMI_BENCH_RES", "1"))
+    return case, res, lambda: build_simulation(resolution=res, g_syn_bar=10.0)
 
+
+# ----------------------------------------------------------------- children
+
+
+def _child_core():
+    """Primary metric on the accelerator + own-build CPU baseline."""
     import jax
+
+    case, res, make = _make_idealized()
+    steps = int(os.environ.get("KNPEMI_BENCH_STEPS", "10"))
+    cpu_steps = int(os.environ.get("KNPEMI_BENCH_CPU_STEPS", "5"))
+    do_cpu = os.environ.get("KNPEMI_BENCH_CPU", "1") == "1"
 
     sim = make()
     dofs = _dofs_per_step(sim)
@@ -137,137 +134,177 @@ def main():
             file=sys.stderr,
         )
 
-    out = {
+    return {
         "metric": "knpemi_mdof_per_s_per_chip",
         "value": round(mdofs, 4),
         "unit": "MDoF/s",
         "vs_baseline": round(vs_baseline, 3),
+        "_case": case,
+        "_res": res,
+        "_dofs": dofs,
     }
 
-    # reference-arithmetic CPU proxy: the BASELINE.md gate is "vs CPU
-    # PETSc reference", and the reference stack is f64-only (PETSc KSP
-    # at rtol 1e-7, serial LSODA sweeps).  The primary vs_baseline above
-    # deliberately uses this repo's OWN optimized f32 CPU build — a much
-    # stronger baseline than the gate demands — so also report the same
-    # step at f64 on CPU (x64 needs a fresh process: the flag must be
-    # set before the first backend use, and the TPU plugin pins f32).
-    if case == "3d" and do_cpu and os.environ.get(
-        "KNPEMI_BENCH_CPU_F64", "1"
-    ) == "1":
-        import subprocess
 
-        code = f"""
-import json, sys, time
-sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})
-sys.path.insert(0, {str(Path(__file__).resolve().parent / 'examples' / 'idealized')!r})
-import os
-os.environ["KNPEMI_X64"] = "1"
-os.environ["KNPEMI_PALLAS"] = "0"
-os.environ["KNPEMI_BANDED"] = "0"
-import jax
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
-from run_3d import build_simulation
-sim = build_simulation(resolution={res}, g_syn_bar=10.0, dtype=jnp.float64)
-state = sim.init_state()
-chunk = sim._chunk(1)
-state, _ = chunk(state)
-state.t.block_until_ready()
-t0 = time.perf_counter()
-for _ in range({cpu_steps}):
-    state, _ = chunk(state)
-state.t.block_until_ready()
-wall = time.perf_counter() - t0
-print(json.dumps({{"ms_per_step": wall / {cpu_steps} * 1e3}}))
-"""
+def _child_cpu_f64():
+    """Reference-arithmetic proxy: same step, f64, CPU, XLA kernels."""
+    os.environ["KNPEMI_X64"] = "1"
+    os.environ["KNPEMI_PALLAS"] = "0"
+    os.environ["KNPEMI_BANDED"] = "0"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from run_3d import build_simulation
+
+    res = int(os.environ.get("KNPEMI_BENCH_RES", "1"))
+    cpu_steps = int(os.environ.get("KNPEMI_BENCH_CPU_STEPS", "5"))
+    sim = build_simulation(resolution=res, g_syn_bar=10.0, dtype=jnp.float64)
+    dofs = _dofs_per_step(sim)
+    wall, *_ = _time_steps(sim, cpu_steps)
+    return {"ms_per_step": wall / cpu_steps * 1e3, "_dofs": dofs}
+
+
+def _child_big():
+    """Large-problem case (>=500k dofs): accelerator-only timing at 3-D
+    res 2, where the chip is bandwidth- rather than latency-bound."""
+    from run_3d import build_simulation
+
+    sim_big = build_simulation(resolution=2, g_syn_bar=10.0)
+    dofs_big = _dofs_per_step(sim_big)
+    wall_big, _, ie, ik = _time_steps(sim_big, 3)
+    return {
+        "dofs": dofs_big,
+        "ms_per_step": round(wall_big / 3 * 1e3, 1),
+        "mdof_per_s": round(dofs_big * 3 / wall_big / 1e6, 4),
+        "emi_iters": int(ie[-1]),
+    }
+
+
+def _child_flagship():
+    """The astrocyte-class tissue scenario (3 subdomains, 2 membranes —
+    HH neuron + Kir glial — pulsed ECS source) at 840k dofs/step: the
+    workload class BASELINE.md's 10x gate is defined on."""
+    sys.path.insert(0, str(_HERE / "examples" / "astrocyte"))
+    from run_stim_duration import build_simulation as build_astro
+    from knpemi_tpu.sim.config import load_config, DEFAULTS
+
+    cfg = dict(DEFAULTS)
+    cfg.update(
+        load_config(_HERE / "examples/astrocyte/config_files/baseline.yml")
+    )
+    cfg["mesh_n"] = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_N", "64"))
+    sim_fl = build_astro(cfg)
+    dofs_fl = _dofs_per_step(sim_fl)
+    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "3"))
+    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
+    ms_step = wall_fl / n_fl * 1e3
+    return {
+        "dofs": dofs_fl,
+        "ms_per_step": round(ms_step, 1),
+        "mdof_per_s": round(dofs_fl * n_fl / wall_fl / 1e6, 4),
+        # wall seconds of compute per simulated millisecond
+        "s_per_sim_ms": round(ms_step / 1e3 / float(cfg["dt"]), 3),
+        "emi_iters": int(ie[-1]),
+        "knp_iters": int(ik[-1]),
+    }
+
+
+_CHILDREN = {
+    "core": _child_core,
+    "cpu_f64": _child_cpu_f64,
+    "big": _child_big,
+    "flagship": _child_flagship,
+}
+
+
+# ------------------------------------------------------------------- parent
+
+
+def _run_child(name: str, timeout: int):
+    """Run one case in a fresh process; return its parsed JSON tail line.
+
+    stderr passes through (human-readable progress); stdout is captured
+    so only the parent's single merged JSON line reaches the driver.
+    """
+    r = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--child", name],
+        stdout=subprocess.PIPE,
+        text=True,
+        timeout=timeout,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"child {name} exited {r.returncode}")
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        if os.environ.get("KNPEMI_PLATFORM"):
+            # e.g. KNPEMI_PLATFORM=cpu for a smoke run while the TPU is
+            # busy (the JAX_PLATFORMS env var alone is ignored once the
+            # axon plugin registers)
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["KNPEMI_PLATFORM"])
+        print(json.dumps(_CHILDREN[sys.argv[2]]()))
+        return
+
+    case = os.environ.get("KNPEMI_BENCH_CASE", "3d")
+    res = int(os.environ.get("KNPEMI_BENCH_RES", "1" if case == "3d" else "4"))
+    big_timeout = int(os.environ.get("KNPEMI_BENCH_CASE_TIMEOUT", "1800"))
+
+    out = {
+        "metric": "knpemi_mdof_per_s_per_chip",
+        "value": None,
+        "unit": "MDoF/s",
+        "vs_baseline": None,
+    }
+
+    try:
+        core = _run_child("core", timeout=2400)
+        dofs = core.pop("_dofs")
+        core.pop("_case", None)
+        core.pop("_res", None)
+        out.update(core)
+    except Exception as e:  # noqa: BLE001 — bench must still report
+        out["error"] = str(e)[:200]
+        print(json.dumps(out))
+        return
+
+    if case == "3d" and os.environ.get("KNPEMI_BENCH_CPU_F64", "1") == "1":
         try:
-            def _run_f64():
-                r = subprocess.run(
-                    [sys.executable, "-c", code],
-                    capture_output=True, text=True, timeout=900,
-                )
-                line = r.stdout.strip().splitlines()[-1]
-                return json.loads(line)
-
-            f64 = _with_alarm(960, _run_f64)
+            f64 = _run_child("cpu_f64", timeout=960)
             cpu64_mdofs = dofs / (f64["ms_per_step"] / 1e3) / 1e6
             out["cpu_f64_ms_per_step"] = round(f64["ms_per_step"], 1)
-            out["vs_baseline_f64"] = round(mdofs / cpu64_mdofs, 3)
+            out["vs_baseline_f64"] = round(out["value"] / cpu64_mdofs, 3)
             print(
                 f"# cpu f64 (reference-arithmetic proxy): "
                 f"{f64['ms_per_step']:.1f} ms/step -> "
                 f"{out['vs_baseline_f64']:.2f}x",
                 file=sys.stderr,
             )
-        except Exception as e:  # noqa: BLE001 — bench must still report
+        except Exception as e:  # noqa: BLE001
             out["vs_baseline_f64"] = None
             print(f"# cpu f64 leg failed: {e}", file=sys.stderr)
 
-    # large-problem case (>=500k dofs): TPU-only timing at 3-D res 2,
-    # where the chip is bandwidth- rather than latency-bound
     if case == "3d" and res == 1 and os.environ.get(
         "KNPEMI_BENCH_BIG", "1"
     ) == "1":
-        def _run_big():
-            sim_big = build_simulation(resolution=2, g_syn_bar=10.0)
-            dofs_big = _dofs_per_step(sim_big)
-            wall_big, _, ie, ik = _time_steps(sim_big, 3)
-            return {
-                "dofs": dofs_big,
-                "ms_per_step": round(wall_big / 3 * 1e3, 1),
-                "mdof_per_s": round(dofs_big * 3 / wall_big / 1e6, 4),
-                "emi_iters": int(ie[-1]),
-            }
-
         try:
-            out["big_case"] = _with_alarm(
-                int(os.environ.get("KNPEMI_BENCH_CASE_TIMEOUT", "1200")),
-                _run_big,
-            )
-        except Exception as e:  # noqa: BLE001 — bench must still report
+            out["big_case"] = _run_child("big", timeout=big_timeout)
+        except Exception as e:  # noqa: BLE001
             out["big_case"] = {"error": str(e)[:200]}
 
-    # flagship case: the astrocyte-class tissue scenario (3 subdomains,
-    # 2 membranes — HH neuron + Kir glial — pulsed ECS source) at 840k
-    # dofs/step, the workload class BASELINE.md's 10x gate is defined on
     if case == "3d" and os.environ.get("KNPEMI_BENCH_FLAGSHIP", "1") == "1":
-        def _run_flagship():
-            sys.path.insert(
-                0,
-                str(Path(__file__).resolve().parent / "examples" / "astrocyte"),
-            )
-            from run_stim_duration import build_simulation as build_astro
-            from knpemi_tpu.sim.config import load_config, DEFAULTS
-
-            cfg = dict(DEFAULTS)
-            cfg.update(
-                load_config(
-                    Path(__file__).resolve().parent
-                    / "examples/astrocyte/config_files/baseline.yml"
-                )
-            )
-            cfg["mesh_n"] = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_N", "64"))
-            sim_fl = build_astro(cfg)
-            dofs_fl = _dofs_per_step(sim_fl)
-            n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "3"))
-            wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
-            ms_step = wall_fl / n_fl * 1e3
-            return {
-                "dofs": dofs_fl,
-                "ms_per_step": round(ms_step, 1),
-                "mdof_per_s": round(dofs_fl * n_fl / wall_fl / 1e6, 4),
-                # wall seconds of compute per simulated millisecond
-                "s_per_sim_ms": round(ms_step / 1e3 / float(cfg["dt"]), 3),
-                "emi_iters": int(ie[-1]),
-                "knp_iters": int(ik[-1]),
-            }
-
         try:
-            out["flagship"] = _with_alarm(
-                int(os.environ.get("KNPEMI_BENCH_CASE_TIMEOUT", "1200")),
-                _run_flagship,
+            out["flagship"] = _run_child(
+                "flagship",
+                timeout=int(
+                    os.environ.get("KNPEMI_BENCH_FLAGSHIP_TIMEOUT", "3000")
+                ),
             )
-        except Exception as e:  # noqa: BLE001 — bench must still report
+        except Exception as e:  # noqa: BLE001
             out["flagship"] = {"error": str(e)[:200]}
 
     print(json.dumps(out))
