@@ -243,6 +243,27 @@ class Simulation:
         _smark("emi_mg: initial conditions")
         A_hat, s = self._emi_Ahat(c0)
         _smark("emi_mg: assemble+equilibrate")
+        # Global RCM over the COUPLED solver-layout graph: the per-tag
+        # concatenation puts membrane-coupled ECS/ICS dofs ~n/3 apart,
+        # which defeats the banded window layout (the flagship tissue
+        # operator fell back to fine-level ELL random gathers at
+        # 150 ms/apply; res-2 idealized carried a 4 GB fine slab with
+        # 574k far-COO entries).  Building the hierarchy on the
+        # permuted operator interleaves the coupled dofs; DeviceMG
+        # gathers residuals through hier.perm at the apply boundary.
+        import os
+
+        perm = None
+        if os.environ.get("KNPEMI_MG_GLOBAL_RCM", "1") == "1":
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = np.asarray(
+                reverse_cuthill_mckee(A_hat, symmetric_mode=True),
+                dtype=np.int64,
+            )
+            A_hat = A_hat[perm][:, perm].tocsr()
+            s = s[perm]
+            _smark("emi_mg: global RCM permutation")
         hier = build_hierarchy_cached(
             A_hat,
             B=1.0 / s,
@@ -257,6 +278,7 @@ class Simulation:
             ),
         )
         _smark("emi_mg: hierarchy (build or cache hit)")
+        hier.perm = perm
         self._emi_hier = hier
         self.emi_solver.mg = hier.device(
             self.dtype, band_dtype=self._band_dtype,
@@ -299,6 +321,11 @@ class Simulation:
         diag0 = self._emi_diag0
         s = 1.0 / np.sqrt(np.abs(diag0))
         A_hat = (sp.diags(s) @ A0 @ sp.diags(s)).tocsr()
+        perm = getattr(self._emi_hier, "perm", None)
+        if perm is not None:
+            # the hierarchy lives in globally-RCM-permuted space: refill
+            # it from the operator in the SAME order (see _setup_emi_mg)
+            A_hat = A_hat[perm][:, perm].tocsr()
         try:
             hier = refresh_hierarchy(self._emi_hier, A_hat)
         except ValueError as e:

@@ -316,6 +316,12 @@ class MGLevel:
     a_band: Optional[tuple] = None
     p_band: Optional[tuple] = None
     pt_band: Optional[tuple] = None
+    # banded A@P product (n x nc): lets the post-smoothing residual be
+    # computed as res1 - (AP) xc instead of res1 - A (P xc) — the same
+    # arithmetic, but the slab read shrinks by ~the aggregate size
+    # (nc ~ n/8), halving the V-cycle's per-level HBM floor of two
+    # full-operator reads (the restriction residual still needs one)
+    ap_band: Optional[tuple] = None
     # host-side prolongator (kept for value refresh: Galerkin RAP with
     # frozen P, see refresh_hierarchy); never shipped to the device
     P_csr: Optional[sp.csr_matrix] = None
@@ -454,6 +460,16 @@ class MGHierarchy:
     coarse_ilam: np.ndarray
     nu: int = 1
     gamma: int = 1
+    # optional row/col permutation applied to the operator BEFORE the
+    # hierarchy was built (global RCM of the solver-layout graph): the
+    # EMI solver layout concatenates per-tag blocks, so membrane
+    # coupling spans block-distant ids and the banded window layout
+    # degrades (4 GB fine slabs at 3-D res 2) or fails outright into
+    # the ELL random-gather fallback (150 ms/apply on the flagship
+    # tissue operator).  Global RCM interleaves the coupled dofs
+    # (measured bandwidth 22069 -> 428 in the sharded analog,
+    # parallel/sharded_mg.py); DeviceMG gathers residuals in/out.
+    perm: Optional[np.ndarray] = None
 
     def device(self, dtype, band_dtype=None, band_pallas=False):
         """``band_dtype`` is the STORAGE dtype of the FINE-level
@@ -471,15 +487,18 @@ class MGHierarchy:
         window kernel (TPU only)."""
 
         # host->device transfers ride a slow tunnel in this environment
-        # (measured ~10 MB/s-class): a multi-GB dense slab costs many
-        # minutes to upload, while its ~nnz payload is ~1%.  On
+        # (measured 60-77 MB/s up, uncontended): a multi-GB dense slab
+        # costs minutes to upload, while its ~nnz payload is ~1%.  On
         # accelerators, ship the nonzeros and SCATTER into device zeros
-        # (one-time ~2.9M-element scatter: ~20 ms); on CPU the direct
-        # asarray is free.
+        # — but only for LARGE slabs: each scatter is its own remote
+        # compile (~4 s through the tunnel), so sparse-uploading every
+        # small slab cost 36 s per KNP hierarchy at 3-D res 1 while the
+        # dense bytes would have moved in under a second.
         sparse_upload = jax.devices()[0].platform != "cpu"
+        _SPARSE_MIN_BYTES = 192 << 20
 
         def dev_slab(sT, dt):
-            if not sparse_upload:
+            if not sparse_upload or sT.nbytes < _SPARSE_MIN_BYTES:
                 return jnp.asarray(sT, dtype=dt)
             flat = np.flatnonzero(sT)
             vals = sT.ravel()[flat]
@@ -532,9 +551,16 @@ class MGHierarchy:
                     pt_cols=jnp.asarray(lv.pt_cols),
                     pt_vals=jnp.asarray(lv.pt_vals, dtype=dtype),
                     a_band=dev_band(lv.a_band, slab_dt=fine_dt),
+                    ap_band=dev_band(getattr(lv, "ap_band", None)),
                     p_band=dev_band(lv.p_band),
                     pt_band=dev_band(lv.pt_band),
                 )
+            )
+        perm = iperm = None
+        if self.perm is not None:
+            perm = jnp.asarray(self.perm, dtype=jnp.int32)
+            iperm = jnp.asarray(
+                np.argsort(self.perm).astype(np.int32)
             )
         return DeviceMG(
             out,
@@ -542,13 +568,15 @@ class MGHierarchy:
             jnp.asarray(self.coarse_ilam, dtype=dtype),
             self.nu,
             gamma=self.gamma,
+            perm=perm,
+            iperm=iperm,
         )
 
 
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v3"  # v3: singleton re-attachment + stall guard
+_BUILD_VERSION = "v4"  # v4: fused post-smooth AP slabs
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -557,7 +585,7 @@ def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
     preconditioner-internal, so the cast is convergence-neutral —
     verified identical EMI/KNP iteration counts f32 vs f64)."""
     for lv in hier.levels:
-        for attr in ("a_band", "p_band", "pt_band"):
+        for attr in ("a_band", "ap_band", "p_band", "pt_band"):
             band = getattr(lv, attr, None)
             if band is None:
                 continue
@@ -778,6 +806,7 @@ def build_hierarchy(
         lv.p_cols, lv.p_vals = _csr_to_ell(P, pad_diag=False)
         lv.pt_cols, lv.pt_vals = _csr_to_ell(P.T.tocsr(), pad_diag=False)
         _mark(f"level {len(levels)}: ELL")
+        AP = (A @ P).tocsr()  # reused below for the Galerkin RAP
         if banded:
             # the finest level dominates V-cycle cost: give it a larger
             # slab budget (ELL fallback there means ~30x slower random
@@ -785,12 +814,17 @@ def build_hierarchy(
             cap = (4096 << 20) if not levels else (512 << 20)
             if lv.a_cols is not None:
                 lv.a_band = _csr_to_banded(A, mem_cap=cap, dtype=slab_dtype)
+                # fused post-smooth operand (see MGLevel.ap_band); only
+                # meaningful where the level smooths with its own lagged
+                # operator — with the caller's matrix-free fine operator
+                # a lagged AP would break the cycle's symmetry
+                lv.ap_band = _csr_to_banded(AP, dtype=slab_dtype)
             lv.p_band = _csr_to_banded(P, dtype=slab_dtype)
             lv.pt_band = _csr_to_banded(P.T.tocsr(), dtype=slab_dtype)
             _mark(f"level {len(levels)}: banded layout")
         levels.append(lv)
 
-        A = (P.T @ A @ P).tocsr()
+        A = (P.T @ AP).tocsr()
         _mark(f"level {len(levels) - 1}: Galerkin RAP")
         node_size = m_cand
     if A.shape[0] > 20 * coarse_max:
@@ -1000,13 +1034,32 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
                     f"{(total_mass - kept) / total_mass:.2e} of |A| mass "
                     f"(> {max_drop_frac:.0e}): sparsity pattern drifted"
                 )
+        AP = (A @ lv.P_csr).tocsr()  # reused for the Galerkin RAP below
+        if getattr(lv, "ap_band", None) is not None:
+            # frozen P + value-refreshed A: AP's sparsity is static up to
+            # the same f32-rounding drift the a_band refill tolerates
+            nl.ap_band = _csr_fill_banded(AP, lv.ap_band)
+            windows, _, _, fv, _, _ = nl.ap_band
+            kept = float(
+                sum(np.abs(w[0]).sum() for w in windows) + np.abs(fv).sum()
+            )
+            ap_mass = float(np.abs(AP.data).sum())
+            if ap_mass > 0 and (ap_mass - kept) > max_drop_frac * ap_mass:
+                raise ValueError(
+                    f"AP banded refill at level {ilev} dropped "
+                    f"{(ap_mass - kept) / ap_mass:.2e} of |AP| mass "
+                    f"(> {max_drop_frac:.0e}): sparsity pattern drifted"
+                )
         new_levels.append(nl)
-        A = (lv.P_csr.T @ A @ lv.P_csr).tocsr()
+        A = (lv.P_csr.T @ AP).tocsr()
     lam, V = np.linalg.eigh(A.toarray())
     lmax = np.abs(lam).max() if len(lam) else 1.0
     ilam = np.where(np.abs(lam) > 1e-10 * lmax, 1.0 / lam, 0.0)
+    # NB: when hier.perm is set, A_hat_new must arrive ALREADY permuted
+    # (the caller permutes with the same stored perm — sim/stepper.py)
     return MGHierarchy(levels=new_levels, coarse_V=V, coarse_ilam=ilam,
-                       nu=hier.nu, gamma=hier.gamma)
+                       nu=hier.nu, gamma=hier.gamma,
+                       perm=getattr(hier, "perm", None))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -1022,7 +1075,7 @@ class DeviceMG:
     refreshing the lagged hierarchy without recompiling the step."""
 
     def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None,
-                 gamma: int = 1):
+                 gamma: int = 1, perm=None, iperm=None):
         self.levels = levels
         self.coarse_V = coarse_V
         self.coarse_ilam = coarse_ilam
@@ -1034,10 +1087,16 @@ class DeviceMG:
         # the scale only normalizes (any positive s gives the exact
         # null direction S^-1 1), and it refreshes with the hierarchy.
         self.fine_diag = fine_diag
+        # optional global-RCM permutation (MGHierarchy.perm): the cycle
+        # runs in permuted space; apply() gathers the residual in and
+        # the correction out (fine_diag stays in SOLVER layout)
+        self.perm = perm
+        self.iperm = iperm
 
     def tree_flatten(self):
         flat, treedef = jax.tree_util.tree_flatten(
-            (self.levels, self.coarse_V, self.coarse_ilam, self.fine_diag)
+            (self.levels, self.coarse_V, self.coarse_ilam, self.fine_diag,
+             self.perm, self.iperm)
         )
         dyn = [x if isinstance(x, jax.Array) else None for x in flat]
         static = tuple(None if isinstance(x, jax.Array) else x for x in flat)
@@ -1047,10 +1106,10 @@ class DeviceMG:
     def tree_unflatten(cls, aux, dyn):
         treedef, static, nu, gamma = aux
         flat = [d if s is None else s for d, s in zip(dyn, static)]
-        levels, V, ilam, fine_diag = jax.tree_util.tree_unflatten(
-            treedef, flat
+        levels, V, ilam, fine_diag, perm, iperm = (
+            jax.tree_util.tree_unflatten(treedef, flat)
         )
-        return cls(levels, V, ilam, nu, fine_diag, gamma)
+        return cls(levels, V, ilam, nu, fine_diag, gamma, perm, iperm)
 
     def _op(self, i: int, A0: Callable):
         lv = self.levels[i]
@@ -1086,7 +1145,25 @@ class DeviceMG:
             lambda x: _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
         )(X)
 
+    def _fused_post(self, i: int, lv, k: int) -> bool:
+        """Use the AP-product slab for the post-smoothing residual
+        (res1 - AP xc) instead of a second full-operator apply.  Valid
+        only for the plain V(1,1) Jacobi cycle (k = nu = 1) on a level
+        whose smoother runs the LAGGED operator — AP is lagged, so
+        pairing it with the caller's matrix-free current-coefficient
+        fine operator would break the cycle's symmetry for CG."""
+        if k != 1 or self.nu != 1 or lv.get("ap_band") is None:
+            return False
+        lagged = lv.get("a_band") is not None or lv.get("a_cols") is not None
+        return lagged or i > 0
+
     def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
+        if self.perm is not None:
+            # the hierarchy lives in globally-RCM-permuted space; A0 is
+            # only consulted when level 0 has no lagged operator, so
+            # wrap it back through the permutation for that case
+            A0p = lambda x: A0(x[self.iperm])[self.perm]
+            return self._cycle(0, A0p, r[self.perm])[self.iperm]
         return self._cycle(0, A0, r)
 
     def apply_batch(self, A0b: Callable, R: jnp.ndarray) -> jnp.ndarray:
@@ -1095,6 +1172,9 @@ class DeviceMG:
         slab once for the whole batch — the KNP ion-batched GMRES path's
         preconditioner.  ``A0b`` is the batched fine operator (unused
         when level 0 carries a lagged banded/ELL operator)."""
+        if self.perm is not None:
+            A0p = lambda X: A0b(X[:, self.iperm])[:, self.perm]
+            return self._cycle_batch(0, A0p, R[:, self.perm])[:, self.iperm]
         return self._cycle_batch(0, A0b, R)
 
     def _cycle_batch(self, i: int, A0b: Callable, r: jnp.ndarray):
@@ -1111,13 +1191,19 @@ class DeviceMG:
         for _ in range(self.nu - 1):
             for j in range(k):
                 x = x + steps[j] * (dinv * (r - A(x)))
-        rc = self._transfer_batch(lv, "pt", r - A(x))
+        res1 = r - A(x)
+        rc = self._transfer_batch(lv, "pt", res1)
         xc = self._cycle_batch(i + 1, A0b, rc)
         if i + 1 < len(self.levels):
             Ac = self._op_batch(i + 1, A0b)
             for _ in range(self.gamma - 1):
                 xc = xc + self._cycle_batch(i + 1, A0b, rc - Ac(xc))
         x = x + self._transfer_batch(lv, "p", xc)
+        if self._fused_post(i, lv, k):
+            # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
+            # slab read of a second full-operator apply (see MGLevel)
+            res2 = res1 - _banded_mv_batch(lv["ap_band"], xc)
+            return x + steps[0] * (dinv * res2)
         for _ in range(self.nu):
             for j in range(k - 1, -1, -1):
                 x = x + steps[j] * (dinv * (r - A(x)))
@@ -1141,7 +1227,8 @@ class DeviceMG:
         for _ in range(self.nu - 1):
             for j in range(k):
                 x = x + steps[j] * (dinv * (r - A(x)))
-        rc = self._transfer(lv, "pt", r - A(x))
+        res1 = r - A(x)
+        rc = self._transfer(lv, "pt", res1)
         xc = self._cycle(i + 1, A0, rc)
         # W-cycle (gamma=2): re-solve the coarse problem on its own
         # residual — the recursion, not the interpolation, limits the
@@ -1151,6 +1238,11 @@ class DeviceMG:
             for _ in range(self.gamma - 1):
                 xc = xc + self._cycle(i + 1, A0, rc - Ac(xc))
         x = x + self._transfer(lv, "p", xc)
+        if self._fused_post(i, lv, k):
+            # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
+            # slab read of a second full-operator apply (see MGLevel)
+            res2 = res1 - _banded_mv(lv["ap_band"], xc)
+            return x + steps[0] * (dinv * res2)
         for _ in range(self.nu):
             for j in range(k - 1, -1, -1):
                 x = x + steps[j] * (dinv * (r - A(x)))

@@ -134,20 +134,41 @@ def main():
         for m, mm in sim.mem_models.items()
     }
 
-    def phase_emi(state, I_ch, mg):
-        old = sim.emi_solver.mg
-        sim.emi_solver.mg = mg
+    # blocking lane arrays travel as jit ARGUMENTS (closure-captured
+    # device arrays become HLO constants; the flagship KNP system's
+    # lane payload exceeds the remote-compile request bound, HTTP 413 —
+    # same pattern as Simulation._chunk)
+    def _payload():
+        return (sim.emi_sys.blocked, sim.emi_sys.mem_blocked,
+                sim.knp_sys.blocked, sim.knp_sys.mem_blocked)
+
+    def _with_payload(payload, fn):
+        old = _payload()
+        (sim.emi_sys.blocked, sim.emi_sys.mem_blocked,
+         sim.knp_sys.blocked, sim.knp_sys.mem_blocked) = payload
         try:
-            phi, info = sim.emi_solver.solve(
-                state.c, state.phi_M, I_ch, x0=state.phi
-            )
+            return fn()
         finally:
-            sim.emi_solver.mg = old
-        return phi, info.iters
+            (sim.emi_sys.blocked, sim.emi_sys.mem_blocked,
+             sim.knp_sys.blocked, sim.knp_sys.mem_blocked) = old
+
+    def phase_emi(state, I_ch, mg, payload):
+        def inner():
+            old = sim.emi_solver.mg
+            sim.emi_solver.mg = mg
+            try:
+                phi, info = sim.emi_solver.solve(
+                    state.c, state.phi_M, I_ch, x0=state.phi
+                )
+            finally:
+                sim.emi_solver.mg = old
+            return phi, info.iters
+
+        return _with_payload(payload, inner)
 
     emi_j = jax.jit(phase_emi)
-    t_emi = timeit(emi_j, state, I_ch, sim.emi_solver.mg, reps=R)
-    phi, emi_it = emi_j(state, I_ch, sim.emi_solver.mg)
+    t_emi = timeit(emi_j, state, I_ch, sim.emi_solver.mg, _payload(), reps=R)
+    phi, emi_it = emi_j(state, I_ch, sim.emi_solver.mg, _payload())
     print(f"EMI solve          : {t_emi:8.2f} ms   ({int(emi_it)} iters)")
 
     # EMI internals (loop-amortized: true per-op device cost)
