@@ -226,12 +226,75 @@ class Simulation:
         from ..solvers import direct as direct_mod
 
         kappa = {t: np.asarray(v) for t, v in self.emi_sys.kappa(c).items()}
-        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
+        A0 = self._assemble_emi_cached(kappa)
         d = A0.diagonal()
         self._emi_diag0 = np.where(d != 0, d, 1.0)
         s = 1.0 / np.sqrt(np.abs(self._emi_diag0))
         S = sp.diags(s)
         return (S @ A0 @ S).tocsr(), s
+
+    def _assemble_emi_cached(self, kappa: dict):
+        """Disk-cached t=0 EMI assembly, keyed by the geometry arrays,
+        C_phi and the kappa values.  The single-core host pays several
+        minutes of COO accumulation at flagship scale (~1.6M tets) on
+        EVERY invocation — bench re-runs, profiling, drivers — while the
+        operator is a pure function of this content.  Uses the MG cache
+        directory (KNPEMI_MG_CACHE; empty string disables)."""
+        import hashlib
+        import os
+        import scipy.sparse as sp
+        from ..solvers import direct as direct_mod
+
+        cache_dir = os.environ.get(
+            "KNPEMI_MG_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".mg_cache"),
+        )
+        if not cache_dir:
+            return direct_mod.assemble_emi_csr(self.emi_sys, kappa)
+        h = hashlib.sha256()
+        h.update(b"emi_csr_v1")
+        h.update(np.float64(self.params.C_phi).tobytes())
+        for t in self.emi_sys.tags:
+            s_ = self.geom.subdomains[t]
+            for arr in (s_.cells, s_.grads, s_.vols, kappa[t]):
+                a = np.ascontiguousarray(np.asarray(arr))
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+        for m, mem in sorted(self.geom.membranes.items()):
+            for arr in (mem.facet_idofs, mem.facet_edofs, mem.areas,
+                        np.int64(mem.cell_tag)):
+                a = np.ascontiguousarray(np.asarray(arr))
+                h.update(a.tobytes())
+        path = os.path.join(cache_dir, "emi_" + h.hexdigest()[:32] + ".npz")
+        if os.path.exists(path):
+            try:
+                z = np.load(path)
+                return sp.csr_matrix(
+                    (z["data"], z["indices"], z["indptr"]),
+                    shape=tuple(z["shape"]),
+                )
+            except Exception:
+                pass  # corrupt entry: reassemble below
+        A0 = direct_mod.assemble_emi_csr(self.emi_sys, kappa)
+        # np.savez appends ".npz" unless the name already ends with it
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        try:
+            from ..utils.critical import critical_section
+
+            with critical_section():
+                os.makedirs(cache_dir, exist_ok=True)
+                np.savez(tmp, data=A0.data, indices=A0.indices,
+                         indptr=A0.indptr, shape=np.asarray(A0.shape))
+                os.replace(tmp, path)
+        except BaseException as exc:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            if not isinstance(exc, OSError):
+                raise
+        return A0
 
     def _setup_emi_mg(self):
         """Build the lagged EMI multigrid hierarchy from the initial
@@ -397,6 +460,22 @@ class Simulation:
             d = np.where(d != 0, d, 1.0)
             s_ = 1.0 / np.sqrt(np.abs(d))
             A_hat = (sp.diags(s_) @ A0 @ sp.diags(s_)).tocsr()
+            # same global-RCM treatment as the EMI hierarchy: the tissue
+            # ECS submesh inherits parent-mesh numbering with holes, and
+            # its banded windows ballooned to a 4 GB fine slab + 574k
+            # far-COO entries on the flagship (see _setup_emi_mg)
+            import os
+
+            perm_t = None
+            if os.environ.get("KNPEMI_MG_GLOBAL_RCM", "1") == "1":
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                perm_t = np.asarray(
+                    reverse_cuthill_mckee(A_hat, symmetric_mode=True),
+                    dtype=np.int64,
+                )
+                A_hat = A_hat[perm_t][:, perm_t].tocsr()
+                s_ = s_[perm_t]
             hier = build_hierarchy_cached(
                 A_hat, B=1.0 / s_, theta=self.opts.mg_theta,
                 coarse_max=self.opts.mg_coarse_max, nu=self.opts.mg_nu,
@@ -408,6 +487,7 @@ class Simulation:
                 ),
             )
             _smark(f"knp_mg[{t}]: assemble+hierarchy")
+            hier.perm = perm_t
             mg[t] = hier.device(
                 self.dtype, band_dtype=self._band_dtype,
                 band_pallas=self._use_pallas,

@@ -576,7 +576,7 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v4"  # v4: fused post-smooth AP slabs
+_BUILD_VERSION = "v5"  # v5: AP slabs + matrix-free fine level on band failure
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -683,7 +683,7 @@ def build_hierarchy(
     max_levels: int = 10,
     nu: int = 1,
     omega_p: float = 4.0 / 3.0,
-    fine_ell: bool = True,
+    fine_ell="auto",
     banded: bool = True,
     smoother: str = "cheby",
     degree: int = 3,
@@ -699,7 +699,16 @@ def build_hierarchy(
     operator: the hierarchy is lagged anyway, the smoother is
     preconditioner-internal (CG/GMRES compute true residuals with the
     current operator), and one fixed-width row gather is much cheaper
-    than re-assembling cell contributions per application.
+    than re-assembling cell contributions per application.  The default
+    ``"auto"`` keeps the stored fine operator ONLY when its banded
+    layout succeeds: on cube-shaped domains the minimum graph bandwidth
+    (~n^(2/3)) exceeds any affordable window, banding fails, and the
+    ELL fallback's random gathers (~140M elem/s on TPU) cost ~5x the
+    caller's blocked-Pallas exact matvec — measured 44 ms vs 8.3 ms per
+    apply on the 280k-dof flagship EMI operator.  Matrix-free fine
+    smoothing with the CURRENT operator is the standard lagged-AMG
+    regime (the transfers are stale either way; measured
+    iteration-neutral in the staleness stress, RESULTS.md).
 
     With ``banded`` every level/transfer operator additionally gets a
     block-banded dense layout (:func:`_csr_to_banded`) so the device
@@ -822,6 +831,14 @@ def build_hierarchy(
             lv.p_band = _csr_to_banded(P, dtype=slab_dtype)
             lv.pt_band = _csr_to_banded(P.T.tocsr(), dtype=slab_dtype)
             _mark(f"level {len(levels)}: banded layout")
+        if (not levels and fine_ell == "auto" and banded
+                and lv.a_band is None):
+            # banding failed on the fine level (cube-bandwidth domain):
+            # drop the stored operator so DeviceMG smooths level 0 with
+            # the caller's blocked-Pallas matvec instead of ELL gathers
+            lv.a_cols = lv.a_vals = None
+            lv.ap_band = None
+            _mark("level 0: banding failed -> matrix-free fine smoothing")
         levels.append(lv)
 
         A = (P.T @ AP).tocsr()
