@@ -112,3 +112,35 @@ def test_critical_section_nesting():
             assert in_critical_section()
         assert in_critical_section()
     assert not in_critical_section()
+
+
+def test_emi_assembly_cache(tmp_path, monkeypatch):
+    """Simulation._assemble_emi_cached: miss writes an entry whose hit
+    reproduces the fresh CSR exactly; changed kappa keys a new entry
+    (stale conductivity must never be served)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "examples" / "idealized")
+    )
+    from run_2d import build_simulation
+    from knpemi_tpu.solvers import direct as direct_mod
+
+    monkeypatch.setenv("KNPEMI_MG_CACHE", str(tmp_path))
+    # setup itself assembles once (MG build), leaving >=1 entry behind
+    sim = build_simulation(resolution=1)
+    n0 = sum(f.startswith("emi_") for f in os.listdir(tmp_path))
+    kappa = {
+        t: np.ones(s.n_cells) for t, s in sim.geom.subdomains.items()
+    }
+    A_fresh = direct_mod.assemble_emi_csr(sim.emi_sys, kappa)
+    A_miss = sim._assemble_emi_cached(kappa)  # writes
+    assert sum(f.startswith("emi_") for f in os.listdir(tmp_path)) == n0 + 1
+    A_hit = sim._assemble_emi_cached(kappa)  # reads
+    for A in (A_miss, A_hit):
+        assert (A != A_fresh).nnz == 0
+    kappa2 = {t: 2.0 * v for t, v in kappa.items()}
+    A2 = sim._assemble_emi_cached(kappa2)
+    assert sum(f.startswith("emi_") for f in os.listdir(tmp_path)) == n0 + 2
+    assert (A2 != direct_mod.assemble_emi_csr(sim.emi_sys, kappa2)).nnz == 0

@@ -191,21 +191,26 @@ def main():
         # tools/profile_matvec.py, which passes the slabs as jit args)
 
     # --- phase 3: KNP solve -------------------------------------------
-    def phase_knp(state, phi, I_ch, mg):
-        old = sim.knp_solver.mg
-        sim.knp_solver.mg = mg
-        try:
-            c, info = sim.knp_solver.solve(
-                state.c, phi, state.phi_M, I_ch,
-                source_gate=sim.source_gate(state.t), x0=state.c,
-            )
-        finally:
-            sim.knp_solver.mg = old
-        return c, info.iters
+    def phase_knp(state, phi, I_ch, mg, payload):
+        def inner():
+            old = sim.knp_solver.mg
+            sim.knp_solver.mg = mg
+            try:
+                c, info = sim.knp_solver.solve(
+                    state.c, phi, state.phi_M, I_ch,
+                    source_gate=sim.source_gate(state.t), x0=state.c,
+                )
+            finally:
+                sim.knp_solver.mg = old
+            return c, info.iters
+
+        return _with_payload(payload, inner)
 
     knp_j = jax.jit(phase_knp)
-    t_knp = timeit(knp_j, state, phi, I_ch, sim.knp_solver.mg, reps=R)
-    c_new, knp_it = knp_j(state, phi, I_ch, sim.knp_solver.mg)
+    t_knp = timeit(
+        knp_j, state, phi, I_ch, sim.knp_solver.mg, _payload(), reps=R
+    )
+    c_new, knp_it = knp_j(state, phi, I_ch, sim.knp_solver.mg, _payload())
     print(f"KNP solve          : {t_knp:8.2f} ms   ({int(knp_it)} iters)")
 
     ks = sim.knp_sys
