@@ -530,6 +530,9 @@ class MGHierarchy:
                 n=n, m=m, pallas=bool(band_pallas),
             )
 
+        iperm_np = (
+            np.argsort(self.perm) if self.perm is not None else None
+        )
         out = []
         for ilv, lv in enumerate(self.levels):
             fine_dt = band_dtype if ilv == 0 else None
@@ -537,10 +540,23 @@ class MGHierarchy:
                 lv.steps if lv.steps is not None
                 else np.array([lv.omega])
             )
+            # matrix-free permuted fine level: pre-gather the smoothing
+            # diagonal into SOLVER layout once, so the cycle can smooth
+            # level 0 with the caller's A0 directly — zero per-apply
+            # permutation gathers (random gathers run ~140M elem/s on
+            # TPU; wrapping A0 in perm/iperm costs two full-vector
+            # gathers per smoothing application, ~6x2 per V-cycle)
+            dinv_solver = None
+            if (ilv == 0 and iperm_np is not None
+                    and lv.a_cols is None and lv.a_band is None):
+                dinv_solver = jnp.asarray(
+                    (1.0 / lv.diag)[iperm_np], dtype=dtype
+                )
             out.append(
                 dict(
                     n=lv.n,
                     dinv=jnp.asarray(1.0 / lv.diag, dtype=dtype),
+                    dinv_solver=dinv_solver,
                     steps=jnp.asarray(steps, dtype=dtype),
                     a_cols=None if lv.a_cols is None else jnp.asarray(lv.a_cols),
                     a_vals=None
@@ -576,7 +592,7 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v5"  # v5: AP slabs + matrix-free fine level on band failure
+_BUILD_VERSION = "v6"  # v6: banded fine transfers + 1 GB level-1 slabs
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -819,17 +835,34 @@ def build_hierarchy(
         if banded:
             # the finest level dominates V-cycle cost: give it a larger
             # slab budget (ELL fallback there means ~30x slower random
-            # gathers per smoothing pass — the res-2 9 s/step failure)
-            cap = (4096 << 20) if not levels else (512 << 20)
+            # gathers per smoothing pass — the res-2 9 s/step failure).
+            # Level 1 gets 1 GB: at the 840k-dof flagship its Galerkin
+            # operator needs a ~550 MB f32 slab, and the ELL fallback
+            # cost 19.8 ms/apply (~30% of the V-cycle) vs ~1.4 ms
+            # banded.  Fine-level TRANSFERS get their own budget for
+            # the same reason: level-0 P/Pt in ELL were 13+15 ms of
+            # random gathers per cycle (~40% of the measured 68.5 ms
+            # EMI V-cycle) where a ~0.7 GB slab read is ~1 ms; their
+            # column span (~8x the RCM bandwidth for Pt) also needs a
+            # wider window cap than operators do.
+            cap = (4096 << 20) if not levels else (1024 << 20)
+            tcap = (2048 << 20) if not levels else (512 << 20)
+            tW = 16384 if not levels else 4096
             if lv.a_cols is not None:
                 lv.a_band = _csr_to_banded(A, mem_cap=cap, dtype=slab_dtype)
                 # fused post-smooth operand (see MGLevel.ap_band); only
                 # meaningful where the level smooths with its own lagged
                 # operator — with the caller's matrix-free fine operator
                 # a lagged AP would break the cycle's symmetry
-                lv.ap_band = _csr_to_banded(AP, dtype=slab_dtype)
-            lv.p_band = _csr_to_banded(P, dtype=slab_dtype)
-            lv.pt_band = _csr_to_banded(P.T.tocsr(), dtype=slab_dtype)
+                lv.ap_band = _csr_to_banded(
+                    AP, mem_cap=tcap, W_cap=tW, dtype=slab_dtype
+                )
+            lv.p_band = _csr_to_banded(
+                P, mem_cap=tcap, W_cap=tW, dtype=slab_dtype
+            )
+            lv.pt_band = _csr_to_banded(
+                P.T.tocsr(), mem_cap=tcap, W_cap=tW, dtype=slab_dtype
+            )
             _mark(f"level {len(levels)}: banded layout")
         if (not levels and fine_ell == "auto" and banded
                 and lv.a_band is None):
@@ -1176,6 +1209,18 @@ class DeviceMG:
 
     def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
         if self.perm is not None:
+            if self.levels and self.levels[0].get("dinv_solver") is not None:
+                # matrix-free permuted fine level: smooth in SOLVER
+                # layout with A0 directly; permute only at the
+                # level-0/1 transfer boundary (2 gathers per cycle
+                # instead of 2 per fine operator application)
+                return self._fine_solver_cycle(
+                    A0, r,
+                    gather=lambda v: v[self.perm],
+                    scatter=lambda v: v[self.iperm],
+                    transfer=self._transfer, cycle=self._cycle,
+                    op=self._op,
+                )
             # the hierarchy lives in globally-RCM-permuted space; A0 is
             # only consulted when level 0 has no lagged operator, so
             # wrap it back through the permutation for that case
@@ -1190,9 +1235,47 @@ class DeviceMG:
         preconditioner.  ``A0b`` is the batched fine operator (unused
         when level 0 carries a lagged banded/ELL operator)."""
         if self.perm is not None:
+            if self.levels and self.levels[0].get("dinv_solver") is not None:
+                return self._fine_solver_cycle(
+                    A0b, R,
+                    gather=lambda V: V[:, self.perm],
+                    scatter=lambda V: V[:, self.iperm],
+                    transfer=self._transfer_batch, cycle=self._cycle_batch,
+                    op=self._op_batch,
+                )
             A0p = lambda X: A0b(X[:, self.iperm])[:, self.perm]
             return self._cycle_batch(0, A0p, R[:, self.perm])[:, self.iperm]
         return self._cycle_batch(0, A0b, R)
+
+    def _fine_solver_cycle(self, A0, r, *, gather, scatter, transfer,
+                           cycle, op):
+        """Level-0 smoothing in the caller's (solver) dof layout; the
+        coarse sub-cycle runs in the hierarchy's RCM-permuted layout.
+        Arithmetic is identical to `_cycle` with the perm-wrapped A0 —
+        D^-1 commutes with the permutation — minus 2 full-vector
+        gathers per fine operator application."""
+        lv = self.levels[0]
+        dinv = lv["dinv_solver"]
+        steps = lv["steps"]
+        k = steps.shape[0]
+        x = steps[0] * (dinv * r)
+        for j in range(1, k):
+            x = x + steps[j] * (dinv * (r - A0(x)))
+        for _ in range(self.nu - 1):
+            for j in range(k):
+                x = x + steps[j] * (dinv * (r - A0(x)))
+        res1 = r - A0(x)
+        rc = transfer(lv, "pt", gather(res1))
+        xc = cycle(1, None, rc)  # coarse levels are lagged: A0 unused
+        if len(self.levels) > 1:
+            Ac = op(1, None)
+            for _ in range(self.gamma - 1):
+                xc = xc + cycle(1, None, rc - Ac(xc))
+        x = x + scatter(transfer(lv, "p", xc))
+        for _ in range(self.nu):
+            for j in range(k - 1, -1, -1):
+                x = x + steps[j] * (dinv * (r - A0(x)))
+        return x
 
     def _cycle_batch(self, i: int, A0b: Callable, r: jnp.ndarray):
         if i == len(self.levels):

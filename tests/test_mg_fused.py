@@ -67,3 +67,56 @@ def test_fused_post_smooth_matches_generic_batched():
     Z_plain = np.asarray(mg_plain.apply_batch(Aop, R))
     err = np.linalg.norm(Z_fused - Z_plain) / np.linalg.norm(Z_plain)
     assert err < 1e-10, err
+
+
+def _lap2d(n1=24):
+    I = sp.eye(n1, dtype=float)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (n1, n1))
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+def test_solver_layout_fine_cycle_matches_perm_wrap():
+    """A permuted hierarchy with a matrix-free fine level must produce
+    bit-identical cycles whether level 0 smooths through the perm-
+    wrapped A0 (reference path) or directly in solver layout
+    (dinv_solver fast path — D^-1 commutes with the permutation)."""
+    rng = np.random.default_rng(3)
+    A_s = _lap2d()
+    n = A_s.shape[0]
+    perm = rng.permutation(n)
+    A_p = A_s[perm][:, perm].tocsr()
+    hier = build_hierarchy(A_p, banded=False, fine_ell=False, coarse_max=60)
+    hier.perm = perm
+    assert hier.levels[0].a_cols is None
+    dmg = hier.device(jnp.float32)
+    assert dmg.levels[0]["dinv_solver"] is not None
+
+    As_j = jnp.asarray(A_s.toarray(), jnp.float32)
+    A0 = lambda x: As_j @ x
+    r = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    fast = dmg.apply(A0, r)
+    dmg.levels[0]["dinv_solver"] = None  # force the reference path
+    ref = dmg.apply(A0, r)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_solver_layout_fine_cycle_matches_perm_wrap_batched():
+    rng = np.random.default_rng(4)
+    A_s = _lap2d(20)
+    n = A_s.shape[0]
+    perm = rng.permutation(n)
+    A_p = A_s[perm][:, perm].tocsr()
+    hier = build_hierarchy(A_p, banded=False, fine_ell=False, coarse_max=60)
+    hier.perm = perm
+    dmg = hier.device(jnp.float32)
+    assert dmg.levels[0]["dinv_solver"] is not None
+
+    As_j = jnp.asarray(A_s.toarray(), jnp.float32)
+    A0b = lambda X: X @ As_j.T
+    R = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    fast = dmg.apply_batch(A0b, R)
+    dmg.levels[0]["dinv_solver"] = None
+    ref = dmg.apply_batch(A0b, R)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)

@@ -214,16 +214,26 @@ def main():
     print(f"KNP solve          : {t_knp:8.2f} ms   ({int(knp_it)} iters)")
 
     ks = sim.knp_sys
-    rhs_k = jax.jit(lambda c, ph, pm, I: ks.rhs(c, ph, pm, I, 1.0))
-    print(f"  KNP rhs          : {timeit(rhs_k, state.c, phi, state.phi_M, I_ch, reps=R):8.2f} ms (dispatch incl.)")
+    # payload travels as a jit argument here too (flagship lane arrays
+    # exceed the remote-compile body limit as HLO constants)
+    rhs_k = jax.jit(
+        lambda c, ph, pm, I, payload: _with_payload(
+            payload, lambda: ks.rhs(c, ph, pm, I, 1.0)
+        )
+    )
+    print(f"  KNP rhs          : {timeit(rhs_k, state.c, phi, state.phi_M, I_ch, _payload(), reps=R):8.2f} ms (dispatch incl.)")
     gp = jax.jit(ks.gradphi_cells)(phi)
     for t in ks.tags:
         v = state.c[t][0]
         t_mv = loop_timeit(
-            lambda w, t=t: ks.matvec_one(
-                t, w, gp[t], float(sim.ions[0].D[t]), float(sim.ions[0].z)
+            lambda w, payload, t=t: _with_payload(
+                payload,
+                lambda: ks.matvec_one(
+                    t, w, gp[t], float(sim.ions[0].D[t]),
+                    float(sim.ions[0].z)
+                ),
             ),
-            v,
+            v, _payload(),
         )
         print(f"  KNP matvec tag{t} : {t_mv:8.3f} ms/op")
         mg_t = sim.knp_solver.mg.get(t) if sim.knp_solver.mg else None
@@ -233,7 +243,12 @@ def main():
             Ahk = lambda w, t=t: sk * ks.matvec_one(
                 t, sk * w, gp[t], float(sim.ions[0].D[t]), float(sim.ions[0].z)
             )
-            t_vc = loop_timeit(lambda r, mg: mg.apply(Ahk, r), v, mg_t)
+            t_vc = loop_timeit(
+                lambda r, mg, payload: _with_payload(
+                    payload, lambda: mg.apply(Ahk, r)
+                ),
+                v, mg_t, _payload(),
+            )
             print(f"  KNP V-cycle tag{t}: {t_vc:8.3f} ms/op")
 
     # --- phase 4: coupling refresh --------------------------------------

@@ -56,6 +56,22 @@ def main():
         from run_2d import build_simulation
 
         sim = build_simulation(resolution=args.res)
+    elif args.case == "flagship":
+        sys.path.insert(
+            0,
+            str(Path(__file__).resolve().parent.parent
+                / "examples" / "astrocyte"),
+        )
+        from run_stim_duration import build_simulation as build_astro
+        from knpemi_tpu.sim.config import load_config, DEFAULTS
+
+        cfg = dict(DEFAULTS)
+        cfg.update(load_config(
+            Path(__file__).resolve().parent.parent
+            / "examples/astrocyte/config_files/baseline.yml"
+        ))
+        cfg["mesh_n"] = 64
+        sim = build_astro(cfg)
     else:
         from run_3d import build_simulation
 
@@ -138,8 +154,9 @@ def main():
         jnp.stack([r0, r0 * 0.5]), mg, K=10,
     )
     print(f"BATCH-2 V-cycle  : {t_b:8.3f} ms/op", flush=True)
-    t_a0 = loop_timeit(A0, r0, K=20)
-    print(f"exact fine A0    : {t_a0:8.3f} ms/op", flush=True)
+    if args.system == "emi":  # A0 is the EMI operator; size-mismatched
+        t_a0 = loop_timeit(A0, r0, K=20)  # against the KNP tag-0 vector
+        print(f"exact fine A0    : {t_a0:8.3f} ms/op", flush=True)
 
 
 if __name__ == "__main__":
