@@ -322,6 +322,15 @@ class MGLevel:
     # (nc ~ n/8), halving the V-cycle's per-level HBM floor of two
     # full-operator reads (the restriction residual still needs one)
     ap_band: Optional[tuple] = None
+    # windowed-ELL forms (ops/pallas_ell.py): factored one-hot MXU
+    # gather/scatter over per-chunk windows — used when the banded slab
+    # would exceed its budget (flagship KNP fine operator: 4.7 GB slab,
+    # 14.8 ms/apply -> ~60 MB lanes, ~4 ms) or banding is refused
+    # outright (level-0 P/Pt: 13-15 ms ELL gathers -> ~3 ms roundtrip)
+    a_ellw: Optional[object] = None
+    ap_ellw: Optional[object] = None
+    p_ellw: Optional[object] = None
+    pt_ellw: Optional[object] = None
     # host-side prolongator (kept for value refresh: Galerkin RAP with
     # frozen P, see refresh_hierarchy); never shipped to the device
     P_csr: Optional[sp.csr_matrix] = None
@@ -548,10 +557,14 @@ class MGHierarchy:
             # gathers per smoothing application, ~6x2 per V-cycle)
             dinv_solver = None
             if (ilv == 0 and iperm_np is not None
-                    and lv.a_cols is None and lv.a_band is None):
+                    and lv.a_cols is None and lv.a_band is None
+                    and getattr(lv, "a_ellw", None) is None):
                 dinv_solver = jnp.asarray(
                     (1.0 / lv.diag)[iperm_np], dtype=dtype
                 )
+
+            def dev_ellw(e):
+                return None if e is None else e.device(dtype)
             out.append(
                 dict(
                     n=lv.n,
@@ -570,6 +583,10 @@ class MGHierarchy:
                     ap_band=dev_band(getattr(lv, "ap_band", None)),
                     p_band=dev_band(lv.p_band),
                     pt_band=dev_band(lv.pt_band),
+                    a_ellw=dev_ellw(getattr(lv, "a_ellw", None)),
+                    ap_ellw=dev_ellw(getattr(lv, "ap_ellw", None)),
+                    p_ellw=dev_ellw(getattr(lv, "p_ellw", None)),
+                    pt_ellw=dev_ellw(getattr(lv, "pt_ellw", None)),
                 )
             )
         perm = iperm = None
@@ -592,7 +609,7 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v6"  # v6: banded fine transfers + 1 GB level-1 slabs
+_BUILD_VERSION = "v7"  # v7: windowed-ELL layouts (ops/pallas_ell.py)
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -845,32 +862,48 @@ def build_hierarchy(
             # EMI V-cycle) where a ~0.7 GB slab read is ~1 ms; their
             # column span (~8x the RCM bandwidth for Pt) also needs a
             # wider window cap than operators do.
-            cap = (4096 << 20) if not levels else (1024 << 20)
-            tcap = (2048 << 20) if not levels else (512 << 20)
-            tW = 16384 if not levels else 4096
+            from ..ops.pallas_ell import build_ellw
+
+            # slab budgets: beyond these the dense-slab HBM read costs
+            # more than the windowed-ELL kernel (measured crossover
+            # ~1 GB: the 3.9 GB flagship KNP fine slab ran 14.8 ms vs
+            # ~4 ms ellw; the 0.95 GB EMI level-1 slab 2.5 ms vs 4.2)
+            cap = 1024 << 20
+            tcap = 512 << 20
             if lv.a_cols is not None:
                 lv.a_band = _csr_to_banded(A, mem_cap=cap, dtype=slab_dtype)
+                if lv.a_band is None:
+                    lv.a_ellw = build_ellw(A)
                 # fused post-smooth operand (see MGLevel.ap_band); only
                 # meaningful where the level smooths with its own lagged
                 # operator — with the caller's matrix-free fine operator
                 # a lagged AP would break the cycle's symmetry
                 lv.ap_band = _csr_to_banded(
-                    AP, mem_cap=tcap, W_cap=tW, dtype=slab_dtype
+                    AP, mem_cap=tcap, dtype=slab_dtype
                 )
-            lv.p_band = _csr_to_banded(
-                P, mem_cap=tcap, W_cap=tW, dtype=slab_dtype
-            )
-            lv.pt_band = _csr_to_banded(
-                P.T.tocsr(), mem_cap=tcap, W_cap=tW, dtype=slab_dtype
-            )
-            _mark(f"level {len(levels)}: banded layout")
+                if lv.ap_band is None:
+                    lv.ap_ellw = build_ellw(AP)
+            lv.p_band = _csr_to_banded(P, mem_cap=tcap, dtype=slab_dtype)
+            if lv.p_band is None:
+                # one windowed-ELL layout of P serves BOTH directions
+                # (gather = P, scatter = P^T) — see ops/pallas_ell.py
+                lv.p_ellw = build_ellw(P)
+                lv.pt_ellw = lv.p_ellw
+            else:
+                lv.pt_band = _csr_to_banded(
+                    P.T.tocsr(), mem_cap=tcap, dtype=slab_dtype
+                )
+                if lv.pt_band is None:
+                    lv.pt_ellw = build_ellw(P)
+            _mark(f"level {len(levels)}: banded/ellw layout")
         if (not levels and fine_ell == "auto" and banded
-                and lv.a_band is None):
-            # banding failed on the fine level (cube-bandwidth domain):
-            # drop the stored operator so DeviceMG smooths level 0 with
-            # the caller's blocked-Pallas matvec instead of ELL gathers
+                and lv.a_band is None and lv.a_ellw is None):
+            # no storable fine layout (cube-bandwidth domain, wide and
+            # unwindowable): drop the stored operator so DeviceMG
+            # smooths level 0 with the caller's blocked-Pallas matvec
+            # instead of ELL gathers
             lv.a_cols = lv.a_vals = None
-            lv.ap_band = None
+            lv.ap_band = lv.ap_ellw = None
             _mark("level 0: banding failed -> matrix-free fine smoothing")
         levels.append(lv)
 
@@ -1060,6 +1093,9 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
             p_cols=lv.p_cols, p_vals=lv.p_vals,
             pt_cols=lv.pt_cols, pt_vals=lv.pt_vals,
             p_band=lv.p_band, pt_band=lv.pt_band,
+            # transfer ellw layouts are frozen with P itself
+            p_ellw=getattr(lv, "p_ellw", None),
+            pt_ellw=getattr(lv, "pt_ellw", None),
             P_csr=lv.P_csr,
         )
         total_mass = float(np.abs(A.data).sum())
@@ -1084,7 +1120,23 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
                     f"{(total_mass - kept) / total_mass:.2e} of |A| mass "
                     f"(> {max_drop_frac:.0e}): sparsity pattern drifted"
                 )
+        if getattr(lv, "a_ellw", None) is not None:
+            # frozen-shape windowed-ELL refill: build_ellw(force_shape)
+            # raises ValueError itself on structural drift
+            from ..ops.pallas_ell import build_ellw
+
+            e = lv.a_ellw
+            nl.a_ellw = build_ellw(
+                A, force_shape=(e.C, e.K, e.Wr, e.G, e.far_cap)
+            )
         AP = (A @ lv.P_csr).tocsr()  # reused for the Galerkin RAP below
+        if getattr(lv, "ap_ellw", None) is not None:
+            from ..ops.pallas_ell import build_ellw
+
+            e = lv.ap_ellw
+            nl.ap_ellw = build_ellw(
+                AP, force_shape=(e.C, e.K, e.Wr, e.G, e.far_cap)
+            )
         if getattr(lv, "ap_band", None) is not None:
             # frozen P + value-refreshed A: AP's sparsity is static up to
             # the same f32-rounding drift the a_band refill tolerates
@@ -1161,51 +1213,101 @@ class DeviceMG:
         )
         return cls(levels, V, ilam, nu, fine_diag, gamma, perm, iperm)
 
+    @staticmethod
+    def _ellw_interpret() -> bool:
+        return jax.devices()[0].platform != "tpu"
+
     def _op(self, i: int, A0: Callable):
         lv = self.levels[i]
         if lv.get("a_band") is not None:
             return lambda x: _banded_mv(lv["a_band"], x)
+        if lv.get("a_ellw") is not None:
+            from ..ops.pallas_ell import ellw_matvec
+
+            interp = self._ellw_interpret()
+            return lambda x: ellw_matvec(lv["a_ellw"], x, interp)
         if i == 0 and lv["a_cols"] is None:
             return A0
         return lambda x: _ell_mv(lv["a_cols"], lv["a_vals"], x)
 
-    @staticmethod
-    def _transfer(lv, which, x):
+    @classmethod
+    def _transfer(cls, lv, which, x):
         band = lv.get(which + "_band")
         if band is not None:
             return _banded_mv(band, x)
+        ellw = lv.get(which + "_ellw")
+        if ellw is not None:
+            # the stored layout is always of P; restriction applies it
+            # transposed (ops/pallas_ell.py one-layout-two-directions)
+            from ..ops.pallas_ell import ellw_matvec, ellw_rmatvec
+
+            fn = ellw_rmatvec if which == "pt" else ellw_matvec
+            return fn(ellw, x, cls._ellw_interpret())
         return _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
 
     def _op_batch(self, i: int, A0b: Callable):
         lv = self.levels[i]
         if lv.get("a_band") is not None:
             return lambda X: _banded_mv_batch(lv["a_band"], X)
+        if lv.get("a_ellw") is not None:
+            from ..ops.pallas_ell import ellw_matvec_batch
+
+            interp = self._ellw_interpret()
+            return lambda X: ellw_matvec_batch(lv["a_ellw"], X, interp)
         if i == 0 and lv["a_cols"] is None:
             return A0b
         return lambda X: jax.vmap(
             lambda x: _ell_mv(lv["a_cols"], lv["a_vals"], x)
         )(X)
 
-    @staticmethod
-    def _transfer_batch(lv, which, X):
+    @classmethod
+    def _transfer_batch(cls, lv, which, X):
         band = lv.get(which + "_band")
         if band is not None:
             return _banded_mv_batch(band, X)
+        ellw = lv.get(which + "_ellw")
+        if ellw is not None:
+            from ..ops.pallas_ell import (
+                ellw_matvec_batch, ellw_rmatvec_batch,
+            )
+
+            fn = ellw_rmatvec_batch if which == "pt" else ellw_matvec_batch
+            return fn(ellw, X, cls._ellw_interpret())
         return jax.vmap(
             lambda x: _ell_mv(lv[which + "_cols"], lv[which + "_vals"], x)
         )(X)
 
     def _fused_post(self, i: int, lv, k: int) -> bool:
-        """Use the AP-product slab for the post-smoothing residual
+        """Use the AP-product layout for the post-smoothing residual
         (res1 - AP xc) instead of a second full-operator apply.  Valid
         only for the plain V(1,1) Jacobi cycle (k = nu = 1) on a level
         whose smoother runs the LAGGED operator — AP is lagged, so
         pairing it with the caller's matrix-free current-coefficient
         fine operator would break the cycle's symmetry for CG."""
-        if k != 1 or self.nu != 1 or lv.get("ap_band") is None:
+        if k != 1 or self.nu != 1:
             return False
-        lagged = lv.get("a_band") is not None or lv.get("a_cols") is not None
+        if lv.get("ap_band") is None and lv.get("ap_ellw") is None:
+            return False
+        lagged = (
+            lv.get("a_band") is not None
+            or lv.get("a_ellw") is not None
+            or lv.get("a_cols") is not None
+        )
         return lagged or i > 0
+
+    def _ap_apply(self, lv, xc):
+        if lv.get("ap_band") is not None:
+            return _banded_mv(lv["ap_band"], xc)
+        from ..ops.pallas_ell import ellw_matvec
+
+        return ellw_matvec(lv["ap_ellw"], xc, self._ellw_interpret())
+
+    def _ap_apply_batch(self, lv, Xc):
+        if lv.get("ap_band") is not None:
+            return _banded_mv_batch(lv["ap_band"], Xc)
+        from ..ops.pallas_ell import ellw_matvec_batch
+
+        return ellw_matvec_batch(lv["ap_ellw"], Xc, self._ellw_interpret())
 
     def apply(self, A0: Callable, r: jnp.ndarray) -> jnp.ndarray:
         if self.perm is not None:
@@ -1302,7 +1404,7 @@ class DeviceMG:
         if self._fused_post(i, lv, k):
             # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
             # slab read of a second full-operator apply (see MGLevel)
-            res2 = res1 - _banded_mv_batch(lv["ap_band"], xc)
+            res2 = res1 - self._ap_apply_batch(lv, xc)
             return x + steps[0] * (dinv * res2)
         for _ in range(self.nu):
             for j in range(k - 1, -1, -1):
@@ -1341,7 +1443,7 @@ class DeviceMG:
         if self._fused_post(i, lv, k):
             # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
             # slab read of a second full-operator apply (see MGLevel)
-            res2 = res1 - _banded_mv(lv["ap_band"], xc)
+            res2 = res1 - self._ap_apply(lv, xc)
             return x + steps[0] * (dinv * res2)
         for _ in range(self.nu):
             for j in range(k - 1, -1, -1):
