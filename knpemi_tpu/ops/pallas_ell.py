@@ -119,7 +119,7 @@ def _pad_pow2(k: int) -> int:
 
 def build_ellw(
     A,
-    Wr_cap: int = 64,
+    Wr_cap: int = 128,
     far_frac_max: float = 0.10,
     force_shape: Optional[tuple] = None,
 ) -> Optional[ELLW]:
@@ -417,10 +417,120 @@ def _ellw_rmatvec_xla(e: ELLW, r):
     return _far_scatter(y, e, r)
 
 
+def _make_gather_kernel_batch(B: int, C: int, K: int, Wr: int):
+    def kern(q_ref, x_ref, li_ref, v_ref, out_ref):
+        i = pl.program_id(0)
+        q = pl.multiple_of(q_ref[i], 8)
+        li = li_ref[0]
+        vals = v_ref[0]
+        E_hi, E_lo = _onehot_w(li, Wr)      # built ONCE, shared over B
+        rows = []
+        for b in range(B):
+            x2 = x_ref[b, pl.ds(q, Wr), :]  # (Wr, 128)
+            R = _dot3(x2, E_hi, ((0,), (0,)), jnp.float32)
+            xe = jnp.sum(jnp.where(E_lo, R, 0.0), axis=0, keepdims=True)
+            rows.append(_lane_sum(xe * vals, K, C))
+        out_ref[0] = jnp.concatenate(rows, axis=0)  # (B, C)
+
+    return kern
+
+
+def _make_scatter_kernel_batch(B: int, C: int, K: int, Wr: int):
+    def kern(q_ref, r_ref, li_ref, v_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        q = pl.multiple_of(q_ref[i], 8)
+        li = li_ref[0]
+        vals = v_ref[0]
+        E_hi, E_lo = _onehot_w(li, Wr)
+        lo_b = E_lo.astype(jnp.bfloat16)
+        for b in range(B):
+            re = r_ref[0, b : b + 1]        # (1, C)
+            ye = _lane_tile(re, K) * vals
+            acc = None
+            for part in _split3_bf16(ye):
+                V = lo_b * part
+                y2 = jax.lax.dot_general(
+                    E_hi, V, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                acc = y2 if acc is None else acc + y2
+            out_ref[b, pl.ds(q, Wr), :] += acc
+
+    return kern
+
+
+_BATCH_NATIVE_MAX = 8
+
+
 def ellw_matvec_batch(e: ELLW, X: jnp.ndarray, interpret: bool = False):
-    """(B, n_cols) -> (B, n_rows); one kernel launch per row (vmap)."""
-    return jax.vmap(lambda x: ellw_matvec(e, x, interpret))(X)
+    """(B, n_cols) -> (B, n_rows).  For small B the batch runs in ONE
+    kernel sharing the lane reads and one-hot construction across rows
+    (the KNP ion-batched V-cycle path: B=3 costs ~1.5x one row, not
+    3x); larger batches fall back to vmap."""
+    B = X.shape[0]
+    if X.dtype == jnp.float64 or B > _BATCH_NATIVE_MAX:
+        return jax.vmap(lambda x: ellw_matvec(e, x, interpret))(X)
+    KC = e.K * e.C
+    X2 = jax.vmap(lambda x: _to_groups(x, e.G))(X)  # (B, G, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e.NCH,),
+        in_specs=[
+            pl.BlockSpec((B, e.G, 128), lambda i, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KC), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KC), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, e.C), lambda i, q: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    Yc = pl.pallas_call(
+        _make_gather_kernel_batch(B, e.C, e.K, e.Wr),
+        out_shape=jax.ShapeDtypeStruct((e.NCH, B, e.C), X.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(e.q, X2, e.lidx, e.vals.astype(X.dtype))
+    Y = jnp.moveaxis(Yc, 1, 0).reshape(B, -1)[:, : e.n_rows]
+    return jax.vmap(lambda y, x: _far_gather(y, e, x))(Y, X)
 
 
 def ellw_rmatvec_batch(e: ELLW, R: jnp.ndarray, interpret: bool = False):
-    return jax.vmap(lambda r: ellw_rmatvec(e, r, interpret))(R)
+    B = R.shape[0]
+    if R.dtype == jnp.float64 or B > _BATCH_NATIVE_MAX:
+        return jax.vmap(lambda r: ellw_rmatvec(e, r, interpret))(R)
+    KC = e.K * e.C
+    Rc = jnp.moveaxis(
+        jnp.pad(R, ((0, 0), (0, e.NCH * e.C - e.n_rows))).reshape(
+            B, e.NCH, e.C
+        ), 1, 0,
+    )  # (NCH, B, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e.NCH,),
+        in_specs=[
+            pl.BlockSpec((1, B, e.C), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KC), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KC), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, e.G, 128), lambda i, q: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    Y2 = pl.pallas_call(
+        _make_scatter_kernel_batch(B, e.C, e.K, e.Wr),
+        out_shape=jax.ShapeDtypeStruct((B, e.G, 128), R.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(e.q, Rc, e.lidx, e.vals.astype(R.dtype))
+    Y = Y2.reshape(B, -1)[:, : e.n_cols]
+    return jax.vmap(lambda y, r: _far_scatter(y, e, r))(Y, R)

@@ -981,6 +981,13 @@ class ShardedSimulation:
                 slab_dtype=(
                     np.float32 if sim.dtype == jnp.float32 else np.float64
                 ),
+                # shard_hierarchy slices the GLOBAL banded layout into
+                # per-device row blocks (slab memory lands n/N per
+                # device), so the single-chip slab budget does not
+                # apply here: keep banding up to the old 4 GB global
+                # bound rather than falling into windowed-ELL, which
+                # the distributed V-cycle does not shard (yet)
+                band_cap=4096 << 20, tband_cap=2048 << 20,
             )
             data, meta = shard_hierarchy(hier, n, sim.dtype)
             data["fine_diag"] = jnp.asarray(

@@ -86,9 +86,11 @@ def cg(
     stall = 60 if jnp.finfo(b.dtype).bits <= 32 else 300
 
     def cond(state):
-        _, r, _, _, _, k, best_rr, best_k = state
-        rr = dot(r, r)
-        # stop on convergence, iteration cap, or stagnation
+        _, _, _, _, _, k, rr, best_rr, best_k = state
+        # stop on convergence, iteration cap, or stagnation (rr is
+        # carried in the state — body computes it anyway for the
+        # stagnation guard; recomputing it here would cost one extra
+        # full-vector dot per iteration)
         return (rr > tol2) & (k < maxiter) & (k - best_k < stall)
 
     def safe_div(a, b):
@@ -96,7 +98,7 @@ def cg(
         return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
 
     def body(state):
-        x, r, z, p, gamma, k, best_rr, best_k = state
+        x, r, z, p, gamma, k, _, best_rr, best_k = state
         Ap = project(A(p))
         alpha = safe_div(gamma, dot(p, Ap))
         x = x + alpha * p
@@ -109,13 +111,13 @@ def cg(
         improved = rr < 0.999 * best_rr
         best_rr = jnp.where(improved, rr, best_rr)
         best_k = jnp.where(improved, k + 1, best_k)
-        return (x, r, z, p, gamma_new, k + 1, best_rr, best_k)
+        return (x, r, z, p, gamma_new, k + 1, rr, best_rr, best_k)
 
     rr0 = dot(r0, r0)
-    state = (x0, r0, z0, z0, gamma0, jnp.int32(0), rr0, jnp.int32(0))
-    x, r, _, _, _, k, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, gamma0, jnp.int32(0), rr0, rr0, jnp.int32(0))
+    x, r, _, _, _, k, rr_f, _, _ = jax.lax.while_loop(cond, body, state)
     # roundoff reintroduces null components over many iterations; pin the
     # gauge on exit (the EMI potential is defined up to a constant)
     x = project(x)
-    rn = jnp.sqrt(dot(r, r))
+    rn = jnp.sqrt(rr_f)
     return KrylovResult(x=x, iters=k, resnorm=rn, converged=rn * rn <= tol2)

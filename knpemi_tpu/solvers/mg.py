@@ -609,7 +609,7 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v7"  # v7: windowed-ELL layouts (ops/pallas_ell.py)
+_BUILD_VERSION = "v8"  # v8: ellw Wr_cap 128 (EMI fine operator needs Wr=96)
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
@@ -722,6 +722,8 @@ def build_hierarchy(
     degree: int = 3,
     gamma: int = 1,
     slab_dtype=np.float64,
+    band_cap: int = 1024 << 20,
+    tband_cap: int = 512 << 20,
 ) -> MGHierarchy:
     """Build the SA hierarchy.  ``B`` is the near-null-space vector of A0
     (sqrt of the original diagonal for equilibrated operators; ones for
@@ -868,8 +870,8 @@ def build_hierarchy(
             # more than the windowed-ELL kernel (measured crossover
             # ~1 GB: the 3.9 GB flagship KNP fine slab ran 14.8 ms vs
             # ~4 ms ellw; the 0.95 GB EMI level-1 slab 2.5 ms vs 4.2)
-            cap = 1024 << 20
-            tcap = 512 << 20
+            cap = band_cap
+            tcap = tband_cap
             if lv.a_cols is not None:
                 lv.a_band = _csr_to_banded(A, mem_cap=cap, dtype=slab_dtype)
                 if lv.a_band is None:
