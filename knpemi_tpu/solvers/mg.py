@@ -679,7 +679,14 @@ def build_hierarchy_cached(
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                return _cast_band_dtype(pickle.load(f), slab_dtype)
+                hier = _cast_band_dtype(pickle.load(f), slab_dtype)
+            # LRU touch: eviction below is by mtime, so a hit must
+            # refresh the entry or hot hierarchies age out first
+            try:
+                os.utime(path)
+            except OSError:
+                pass
+            return hier
         except Exception:
             pass  # corrupt/stale cache entry: rebuild below
     hier = build_hierarchy(A, B=B, **kw)
@@ -705,7 +712,53 @@ def build_hierarchy_cached(
         # (KeyboardInterrupt, a watchdog TimeoutError) to the caller
         if not isinstance(exc, OSError):
             raise
+    _evict_lru(cache_dir, keep=path)
     return hier
+
+
+def _evict_lru(cache_dir: str, keep: str = "") -> None:
+    """Bound the on-disk hierarchy cache: evict oldest-mtime entries
+    until the directory is under ``KNPEMI_MG_CACHE_MAX_GB`` (default
+    24 GiB).  Entries are content-keyed with the builder version folded
+    into the hash, so every ``_BUILD_VERSION`` bump strands the previous
+    round's multi-GB flagship pickles as unreachable files — LRU by
+    mtime (reads touch) reclaims them while keeping everything hot.
+    Best-effort: races with concurrent processes are tolerated."""
+    import os
+
+    try:
+        cap = float(os.environ.get("KNPEMI_MG_CACHE_MAX_GB", "24"))
+    except ValueError:
+        cap = 24.0
+    if cap <= 0:  # 0 / negative disables eviction
+        return
+    cap_bytes = int(cap * (1 << 30))
+    try:
+        entries = []
+        with os.scandir(cache_dir) as it:
+            for d in it:
+                if not d.name.endswith(".pkl"):
+                    continue
+                try:
+                    st = d.stat()
+                except OSError:
+                    continue
+                entries.append((st.st_mtime, st.st_size, d.path))
+        total = sum(s for _, s, _ in entries)
+        if total <= cap_bytes:
+            return
+        for _, size, p in sorted(entries):
+            if p == keep:
+                continue
+            try:
+                os.remove(p)
+                total -= size
+            except OSError:
+                continue
+            if total <= cap_bytes:
+                break
+    except OSError:
+        return
 
 
 def build_hierarchy(

@@ -144,3 +144,39 @@ def test_emi_assembly_cache(tmp_path, monkeypatch):
     A2 = sim._assemble_emi_cached(kappa2)
     assert sum(f.startswith("emi_") for f in os.listdir(tmp_path)) == n0 + 2
     assert (A2 != direct_mod.assemble_emi_csr(sim.emi_sys, kappa2)).nnz == 0
+
+
+def test_cache_lru_eviction(tmp_path, monkeypatch):
+    """Size-capped LRU: version bumps strand unreachable multi-GB
+    entries (the key folds _BUILD_VERSION into the hash), so writes
+    evict oldest-mtime files past KNPEMI_MG_CACHE_MAX_GB; reads touch
+    mtime so hot entries survive."""
+    d = str(tmp_path)
+    # three fake stale entries, 1 MiB each, distinct ages
+    for i, name in enumerate(["old_a.pkl", "old_b.pkl", "old_c.pkl"]):
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(b"\0" * (1 << 20))
+        past = time.time() - 3600 * (3 - i)
+        os.utime(p, (past, past))
+    # cap of ~2 MiB: the next cached build must evict the oldest
+    monkeypatch.setenv("KNPEMI_MG_CACHE_MAX_GB", str(2 / 1024))
+    mg.build_hierarchy_cached(_laplacian_2d(), cache_dir=d)
+    names = set(os.listdir(d))
+    # the new entry itself exceeds the tiny cap, so ALL stale files go
+    # (the just-written entry is protected and survives)
+    assert not any(n.startswith("old_") for n in names)
+    assert any(n.endswith(".pkl") for n in names)
+    # a cache HIT refreshes mtime (no eviction of the hot entry later)
+    entry = next(n for n in names if not n.startswith("old_"))
+    p = os.path.join(d, entry)
+    past = time.time() - 9999
+    os.utime(p, (past, past))
+    mg.build_hierarchy_cached(_laplacian_2d(), cache_dir=d)
+    assert os.path.getmtime(p) > time.time() - 60
+    # cap <= 0 disables eviction entirely
+    monkeypatch.setenv("KNPEMI_MG_CACHE_MAX_GB", "0")
+    with open(os.path.join(d, "old_z.pkl"), "wb") as f:
+        f.write(b"\0" * (1 << 20))
+    mg.build_hierarchy_cached(_laplacian_2d(31), cache_dir=d)
+    assert "old_z.pkl" in os.listdir(d)
