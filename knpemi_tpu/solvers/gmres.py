@@ -32,6 +32,7 @@ def gmres(
 ) -> KrylovResult:
     """Solve A x = b. ``min_iter`` mirrors PETSc's ksp_min_it (the
     reference sets 5, pdeSolver.py:100)."""
+    has_M = M is not None
     if M is None:
         M = _identity
     if x0 is None:
@@ -50,35 +51,44 @@ def gmres(
     r0norm = jnp.sqrt(dot(r0, r0))
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    def cycle(x, total_it):
-        """One GMRES(m) cycle starting from x."""
-        r = b - A(x)
+    def cycle(x, r, total_it):
+        """One GMRES(m) cycle starting from x with residual r = b - A x
+        (carried by the outer loop — computing it here would duplicate
+        the initial-residual matvec on the common single-cycle path)."""
         beta = jnp.sqrt(dot(r, r))
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / safe_beta)
+        # preconditioned basis Z[j] = M(V[j]) (flexible-GMRES storage):
+        # the correction is Z y directly, skipping the extra V-cycle
+        # apply of the textbook right-preconditioned update M(V y)
+        Z = jnp.zeros((m, n), b.dtype) if has_M else None
         H = jnp.zeros((m + 1, m), b.dtype)
         cs = jnp.zeros((m,), b.dtype)
         sn = jnp.zeros((m,), b.dtype)
         g = jnp.zeros((m + 1,), b.dtype).at[0].set(beta)
 
         def inner_cond(st):
-            V, H, cs, sn, g, j, res = st
+            V, Z, H, cs, sn, g, j, res = st
             keep = (res > tol) | (total_it + j < min_iter)
             return (j < m) & keep
 
         def inner_body(st):
-            V, H, cs, sn, g, j, res = st
-            w = A(M(V[j]))
-            # modified Gram-Schmidt with masking over the full basis
+            V, Z, H, cs, sn, g, j, res = st
+            z = M(V[j])
+            if has_M:
+                Z = Z.at[j].set(z)
+            w = A(z)
+            # modified Gram-Schmidt over the j+1 live basis vectors
+            # (dynamic trip count: each pass streams the full vector,
+            # so running the dead i > j passes costs real HBM traffic)
             def mgs(i, carry):
                 w, h = carry
-                mask = i <= j
-                hi = jnp.where(mask, dot(V[i], w), 0.0)
+                hi = dot(V[i], w)
                 w = w - hi * V[i]
                 return (w, h.at[i].set(hi))
 
             w, hcol = jax.lax.fori_loop(
-                0, m, mgs, (w, jnp.zeros((m + 1,), b.dtype))
+                0, j + 1, mgs, (w, jnp.zeros((m + 1,), b.dtype))
             )
             hj1 = jnp.sqrt(dot(w, w))
             hcol = hcol.at[j + 1].set(hj1)
@@ -94,6 +104,7 @@ def gmres(
                 )
 
             hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            # (scalar work: the masked static loop unrolls cheaply)
             # new rotation annihilating h[j+1]
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
             denom_s = jnp.where(denom > 0, denom, 1.0)
@@ -108,10 +119,10 @@ def gmres(
             g = g.at[j].set(c_new * g_j).at[j + 1].set(-s_new * g_j)
             H = H.at[:, j].set(hcol[: m + 1])
             res = jnp.abs(g[j + 1])
-            return (V, H, cs, sn, g, j + 1, res)
+            return (V, Z, H, cs, sn, g, j + 1, res)
 
-        V, H, cs, sn, g, j, res = jax.lax.while_loop(
-            inner_cond, inner_body, (V, H, cs, sn, g, 0, beta)
+        V, Z, H, cs, sn, g, j, res = jax.lax.while_loop(
+            inner_cond, inner_body, (V, Z, H, cs, sn, g, 0, beta)
         )
 
         # solve the (masked) upper-triangular system H[:j,:j] y = g[:j]
@@ -126,7 +137,7 @@ def gmres(
         gm = jnp.where(mask, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
         y = jnp.where(mask, y, 0.0)
-        dx = M(V[:m].T @ y)
+        dx = (Z.T @ y) if has_M else (V[:m].T @ y)
         return x + dx, total_it + j, res
 
     def outer_cond(st):
@@ -138,12 +149,25 @@ def gmres(
     def outer_body(st):
         x, it, res, best = st
         best = jnp.minimum(best, res)
-        x, it, res = cycle(x, it)
+        # restart residual; the first cycle's r0 is peeled below, so
+        # this matvec only runs when a restart actually happens
+        x, it, res = cycle(x, b - A(x), it)
         return (x, it, res, best)
 
-    big = jnp.asarray(jnp.inf, b.dtype)
+    # peel the first cycle: it reuses r0 (already computed for the PETSc
+    # convergence test) instead of paying a second initial matvec.  Skip
+    # it entirely when x0 already satisfies the tolerance, matching the
+    # pre-peel semantics (the outer loop never ran).
+    if maxiter > 0:
+        x, it, res = jax.lax.cond(
+            r0norm > tol,
+            lambda: cycle(x0, r0, jnp.int32(0)),
+            lambda: (x0, jnp.int32(0), r0norm),
+        )
+    else:
+        x, it, res = x0, jnp.int32(0), r0norm
     x, it, res, _ = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.int32(0), r0norm, big)
+        outer_cond, outer_body, (x, it, res, r0norm)
     )
     return KrylovResult(x=x, iters=it, resnorm=res, converged=res <= tol)
 
@@ -178,6 +202,7 @@ def gmres_batched(
     Returns KrylovResult with x (B, n), scalar iters, per-row resnorm
     (B,), scalar converged (all rows).
     """
+    has_M = M is not None
     if M is None:
         M = _identity
     if x0 is None:
@@ -198,34 +223,44 @@ def gmres_batched(
     r0norm = jnp.sqrt(bdot(r0, r0))
     tol = jnp.maximum(rtol * bnorm, atol)  # (B,)
 
-    def cycle(x, total_it):
-        r = b - A(x)
+    def cycle(x, r, total_it):
+        # r = b - A(x) is carried by the outer loop (the first cycle
+        # reuses the convergence-test r0, saving one batched matvec)
         beta = jnp.sqrt(bdot(r, r))  # (B,)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1, B, n), b.dtype).at[0].set(r / safe_beta[:, None])
+        # preconditioned basis Z[j] = M(V[j]) (flexible-GMRES storage):
+        # the correction is Z y directly — one batched V-cycle fewer per
+        # cycle than the textbook M(V y) right-preconditioned update
+        Z = jnp.zeros((m, B, n), b.dtype) if has_M else None
         H = jnp.zeros((B, m + 1, m), b.dtype)
         cs = jnp.zeros((B, m), b.dtype)
         sn = jnp.zeros((B, m), b.dtype)
         g = jnp.zeros((B, m + 1), b.dtype).at[:, 0].set(beta)
 
         def inner_cond(st):
-            V, H, cs, sn, g, j, res = st
+            V, Z, H, cs, sn, g, j, res = st
             keep = (res > tol).any() | (total_it + j < min_iter)
             return (j < m) & keep
 
         def inner_body(st):
-            V, H, cs, sn, g, j, res = st
-            w = A(M(V[j]))  # (B, n)
+            V, Z, H, cs, sn, g, j, res = st
+            z = M(V[j])  # (B, n)
+            if has_M:
+                Z = Z.at[j].set(z)
+            w = A(z)
 
+            # modified Gram-Schmidt over the j+1 live basis vectors
+            # (dynamic trip count: every pass streams (B, n) vectors,
+            # so the dead i > j passes cost real HBM traffic)
             def mgs(i, carry):
                 w, h = carry
-                mask = i <= j
-                hi = jnp.where(mask, bdot(V[i], w), 0.0)  # (B,)
+                hi = bdot(V[i], w)  # (B,)
                 w = w - hi[:, None] * V[i]
                 return (w, h.at[:, i].set(hi))
 
             w, hcol = jax.lax.fori_loop(
-                0, m, mgs, (w, jnp.zeros((B, m + 1), b.dtype))
+                0, j + 1, mgs, (w, jnp.zeros((B, m + 1), b.dtype))
             )
             hj1 = jnp.sqrt(bdot(w, w))  # (B,)
             hcol = hcol.at[:, j + 1].set(hj1)
@@ -252,10 +287,10 @@ def gmres_batched(
             g = g.at[:, j].set(c_new * g_j).at[:, j + 1].set(-s_new * g_j)
             H = H.at[:, :, j].set(hcol)
             res = jnp.abs(g[:, j + 1])  # (B,)
-            return (V, H, cs, sn, g, j + 1, res)
+            return (V, Z, H, cs, sn, g, j + 1, res)
 
-        V, H, cs, sn, g, j, res = jax.lax.while_loop(
-            inner_cond, inner_body, (V, H, cs, sn, g, 0, beta)
+        V, Z, H, cs, sn, g, j, res = jax.lax.while_loop(
+            inner_cond, inner_body, (V, Z, H, cs, sn, g, 0, beta)
         )
 
         mask = jnp.arange(m) < j
@@ -268,7 +303,8 @@ def gmres_batched(
         gm = jnp.where(mask[None, :], g[:, :m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, gm[..., None], lower=False)
         y = jnp.where(mask[None, :], y[..., 0], 0.0)  # (B, m)
-        dx = M(jnp.einsum("jbn,bj->bn", V[:m], y))
+        basis = Z if has_M else V[:m]
+        dx = jnp.einsum("jbn,bj->bn", basis, y)
         return x + dx, total_it + j, res
 
     def outer_cond(st):
@@ -278,12 +314,23 @@ def gmres_batched(
     def outer_body(st):
         x, it, res, best = st
         best = jnp.minimum(best, res)
-        x, it, res = cycle(x, it)
+        # restart residual; the first cycle is peeled below, so this
+        # batched matvec only runs when a restart actually happens
+        x, it, res = cycle(x, b - A(x), it)
         return (x, it, res, best)
 
-    big = jnp.full((B,), jnp.inf, b.dtype)
+    # peel the first cycle, reusing r0 (pre-peel semantics preserved:
+    # skip when every row already satisfies the tolerance)
+    if maxiter > 0:
+        x, it, res = jax.lax.cond(
+            (r0norm > tol).any(),
+            lambda: cycle(x0, r0, jnp.int32(0)),
+            lambda: (x0, jnp.int32(0), r0norm),
+        )
+    else:
+        x, it, res = x0, jnp.int32(0), r0norm
     x, it, res, _ = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.int32(0), r0norm, big)
+        outer_cond, outer_body, (x, it, res, r0norm)
     )
     return KrylovResult(
         x=x, iters=it, resnorm=res, converged=(res <= tol).all()
