@@ -841,12 +841,57 @@ def facet_scatter_blocked(V, bk: BlockedCells, interpret=False):
     return combine_windows(windows_from_colmajor(out, bk), bk)
 
 
-def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane):
+def build_interp_ellw(bk: BlockedCells, weights, Wr_cap: int = 128):
+    """Freeze a dof-vector -> cell-lane linear map as a windowed-ELL
+    operator (ops/pallas_ell.py).
+
+    ``weights`` is (NB, NCH, R, k, C): output row (b, h, r, c) is
+    sum_k weights[b,h,r,k,c] * x[cells_chunk[b,h,c,k]].  Row order is
+    the flat (NB, NCH, R, C) layout, so an ellw_matvec result reshapes
+    straight into the lane arrays the assembly kernels consume.  The
+    per-solve coefficient preparations (mean-vertex kappa for EMI,
+    grad(phi) per cell for KNP drift) are exactly such maps with
+    CONSTANT weights — as plain XLA gathers they run ~140M elem/s and
+    cost ~40 ms each per flagship solve.  Returns None when the cell
+    ordering is not window-coherent enough (build_ellw's refusal)."""
+    import scipy.sparse as sp
+
+    from .pallas_ell import build_ellw
+
+    NB, NCH, C, k = bk.cells_chunk.shape
+    R = weights.shape[2]
+    w = np.moveaxis(np.asarray(weights), 3, 4)  # (NB, NCH, R, C, k)
+    cols = np.broadcast_to(bk.cells_chunk[:, :, None, :, :], w.shape)
+    rows = np.broadcast_to(
+        np.arange(NB * NCH * R * C, dtype=np.int64).reshape(NB, NCH, R, C)[
+            ..., None
+        ],
+        w.shape,
+    )
+    nz = w != 0  # padding lanes carry zero weight: drop
+    A = sp.coo_matrix(
+        (w[nz].astype(np.float64), (rows[nz], cols[nz])),
+        shape=(NB * NCH * R * C, bk.n_dofs),
+    ).tocsr()
+    return build_ellw(A, Wr_cap=Wr_cap)
+
+
+def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane,
+                       kbar_ellw=None, interpret: bool = False):
     """Per-solve EMI coefficient: (vols * mean-vertex-kappa) lane-tiled,
-    plus the outlier cells' mean-kappa.  One XLA gather of kappa per
-    solve (not per matvec)."""
-    ke = kappa[bk.cells_chunk]  # (NB, NCH, C, k)
-    kbar = ke.mean(axis=-1)  # (NB, NCH, C)
+    plus the outlier cells' mean-kappa.  With ``kbar_ellw`` (the frozen
+    interp operator from :func:`build_interp_ellw`) the dof->cell mean
+    runs as a windowed-ELL kernel; otherwise one XLA gather of kappa
+    per solve."""
+    if kbar_ellw is not None:
+        from .pallas_ell import ellw_matvec
+
+        kbar = ellw_matvec(kbar_ellw, kappa, interpret).reshape(
+            bk.n_blocks, bk.n_chunks, bk.C
+        )
+    else:
+        ke = kappa[bk.cells_chunk]  # (NB, NCH, C, k)
+        kbar = ke.mean(axis=-1)  # (NB, NCH, C)
     rest_w = (
         kappa[jnp.asarray(bk.rest_cells)].mean(axis=-1)
         if len(bk.rest_cells)
@@ -855,16 +900,26 @@ def prepare_emi_weight(kappa, bk: BlockedCells, vols_lane):
     return vols_lane * tile_lanes(kbar, bk.k), rest_w
 
 
-def prepare_knp_drift(phi, bk: BlockedCells, grads_lane):
+def prepare_knp_drift(phi, bk: BlockedCells, grads_lane,
+                      drift_ellw=None, interpret: bool = False):
     """Per-solve drift rows: grad(phi) per cell as (NB, NCH, dim, k*C)
-    lane-tiled, plus the outlier cells' grad(phi).  One XLA gather of phi
-    per solve."""
-    pe = phi[bk.cells_chunk]  # (NB, NCH, C, k)
-    gl = grads_lane.reshape(
-        bk.n_blocks, bk.n_chunks, bk.dim, bk.k, bk.C
-    )
-    pe_t = jnp.moveaxis(pe, -1, 2)  # (NB, NCH, k, C)
-    w = jnp.einsum("bhdkc,bhkc->bhdc", gl, pe_t)  # (NB, NCH, dim, C)
+    lane-tiled, plus the outlier cells' grad(phi).  With ``drift_ellw``
+    (grads frozen into a windowed-ELL operator) the dof->cell product
+    runs as a Pallas kernel; otherwise one XLA gather of phi per
+    solve."""
+    if drift_ellw is not None:
+        from .pallas_ell import ellw_matvec
+
+        w = ellw_matvec(drift_ellw, phi, interpret).reshape(
+            bk.n_blocks, bk.n_chunks, bk.dim, bk.C
+        )
+    else:
+        pe = phi[bk.cells_chunk]  # (NB, NCH, C, k)
+        gl = grads_lane.reshape(
+            bk.n_blocks, bk.n_chunks, bk.dim, bk.k, bk.C
+        )
+        pe_t = jnp.moveaxis(pe, -1, 2)  # (NB, NCH, k, C)
+        w = jnp.einsum("bhdkc,bhkc->bhdc", gl, pe_t)  # (NB, NCH, dim, C)
     rest_w = None
     if len(bk.rest_cells):
         rest_w = jnp.einsum(

@@ -15,7 +15,8 @@ kept verbatim, plus generalizations):
   x_L..z_U: source box
   lambda_e, lambda_i: tortuosities
   save_frequency: steps between outputs
-  solver: {direct, rtol_emi, atol_emi, rtol_knp, atol_knp, maxiter, restart}
+  solver: {direct, rtol_emi, atol_emi, rtol_knp, atol_knp, maxiter,
+           restart, min_iter_knp, ...}  (any SolverOptions field)
   dtype: float32|float64
   g_syn_bar, stimulus_x_max: membrane ODE synaptic stimulus
 """

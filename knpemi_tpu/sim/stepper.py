@@ -46,6 +46,16 @@ class SolverOptions:
     atol_knp: float = 2e-40
     maxiter: int = 1000
     restart: int = 30
+    # minimum KNP GMRES iterations before the convergence test may stop
+    # the solve.  5 is PETSc ksp_min_it parity (reference
+    # pdeSolver.py:100) — a guard against trusting the recurrence
+    # residual too early.  On the f32 TPU path the guard is measurably
+    # dead weight: at the 840k-dof flagship the TRUE relative residual
+    # saturates at its f32 attainable floor (~2e-6) by iteration 2 and
+    # is bit-comparable at min_iter 0 vs 5 (tools/profile_knp.py
+    # --bisect-tag0), while each forced iteration costs ~52 ms.
+    # Performance-tuned drivers set 2; the default stays at parity.
+    min_iter_knp: int = 5
     # EMI preconditioner: 'mg' (smoothed-aggregation AMG, the BoomerAMG
     # analog, solvers/mg.py) or 'jacobi' (deflated Jacobi fallback)
     emi_precond: str = "mg"
@@ -181,7 +191,7 @@ class Simulation:
         self.knp_solver = KNPSolver(
             self.knp_sys, direct=opts.direct, rtol=opts.rtol_knp,
             atol=opts.atol_knp, maxiter=opts.maxiter, restart=opts.restart,
-            dot=_dot,
+            min_iter=opts.min_iter_knp, dot=_dot,
         )
         # time gate for the ECS source term (pulsed K+/Na- injection in the
         # benchmark/astrocyte drivers); must be jax-traceable t -> scalar

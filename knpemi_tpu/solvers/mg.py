@@ -1232,12 +1232,20 @@ class DeviceMG:
     refreshing the lagged hierarchy without recompiling the step."""
 
     def __init__(self, levels, coarse_V, coarse_ilam, nu, fine_diag=None,
-                 gamma: int = 1, perm=None, iperm=None):
+                 gamma: int = 1, perm=None, iperm=None,
+                 post_smooth: bool = True):
         self.levels = levels
         self.coarse_V = coarse_V
         self.coarse_ilam = coarse_ilam
         self.nu = nu
         self.gamma = gamma
+        # post_smooth=False gives the asymmetric V(1,0) cycle: legal as
+        # a flexible-GMRES preconditioner (the KNP path stores Z[j] =
+        # M(V[j]), solvers/gmres.py), NOT for CG (EMI), which needs a
+        # symmetric M.  Skips the post pass on every level — at the
+        # flagship the fine post apply is the V-cycle's largest single
+        # op.
+        self.post_smooth = post_smooth
         # raw (unequilibrated) diagonal of the fine operator this
         # hierarchy was built from.  Solvers use it as a LAGGED
         # equilibration scale, skipping the per-solve diag assembly:
@@ -1257,16 +1265,17 @@ class DeviceMG:
         )
         dyn = [x if isinstance(x, jax.Array) else None for x in flat]
         static = tuple(None if isinstance(x, jax.Array) else x for x in flat)
-        return dyn, (treedef, static, self.nu, self.gamma)
+        return dyn, (treedef, static, self.nu, self.gamma, self.post_smooth)
 
     @classmethod
     def tree_unflatten(cls, aux, dyn):
-        treedef, static, nu, gamma = aux
+        treedef, static, nu, gamma, post_smooth = aux
         flat = [d if s is None else s for d, s in zip(dyn, static)]
         levels, V, ilam, fine_diag, perm, iperm = (
             jax.tree_util.tree_unflatten(treedef, flat)
         )
-        return cls(levels, V, ilam, nu, fine_diag, gamma, perm, iperm)
+        return cls(levels, V, ilam, nu, fine_diag, gamma, perm, iperm,
+                   post_smooth)
 
     @staticmethod
     def _ellw_interpret() -> bool:
@@ -1338,17 +1347,34 @@ class DeviceMG:
         only for the plain V(1,1) Jacobi cycle (k = nu = 1) on a level
         whose smoother runs the LAGGED operator — AP is lagged, so
         pairing it with the caller's matrix-free current-coefficient
-        fine operator would break the cycle's symmetry for CG."""
+        fine operator would break the cycle's symmetry for CG.
+
+        Fusing must also be CHEAPER: for a banded AP it reads ~1/8 the
+        slab of a second operator apply, but a windowed-ELL AP pays the
+        one-hot MXU cost of its own density — AP = A@P is denser than A
+        (measured at the flagship KNP fine level: AP-ellw ~9.5 ms vs
+        A-ellw 5.1), so ellw-AP fuses only when its static kernel-work
+        product NCH*Wr*K*C is below the operator's own."""
         if k != 1 or self.nu != 1:
-            return False
-        if lv.get("ap_band") is None and lv.get("ap_ellw") is None:
             return False
         lagged = (
             lv.get("a_band") is not None
             or lv.get("a_ellw") is not None
             or lv.get("a_cols") is not None
         )
-        return lagged or i > 0
+        if not (lagged or i > 0):
+            return False
+        if lv.get("ap_band") is not None:
+            return True
+        ap = lv.get("ap_ellw")
+        if ap is None:
+            return False
+        a = lv.get("a_ellw")
+        if a is not None:
+            return ap.NCH * ap.Wr * ap.K * ap.C <= a.NCH * a.Wr * a.K * a.C
+        if lv.get("a_band") is not None:
+            return False  # banded operator applies ride HBM; ellw AP loses
+        return True  # plain-ELL operator: random gathers lose to ellw AP
 
     def _ap_apply(self, lv, xc):
         if lv.get("ap_band") is not None:
@@ -1429,9 +1455,10 @@ class DeviceMG:
             for _ in range(self.gamma - 1):
                 xc = xc + cycle(1, None, rc - Ac(xc))
         x = x + scatter(transfer(lv, "p", xc))
-        for _ in range(self.nu):
-            for j in range(k - 1, -1, -1):
-                x = x + steps[j] * (dinv * (r - A0(x)))
+        if self.post_smooth:
+            for _ in range(self.nu):
+                for j in range(k - 1, -1, -1):
+                    x = x + steps[j] * (dinv * (r - A0(x)))
         return x
 
     def _cycle_batch(self, i: int, A0b: Callable, r: jnp.ndarray):
@@ -1456,6 +1483,8 @@ class DeviceMG:
             for _ in range(self.gamma - 1):
                 xc = xc + self._cycle_batch(i + 1, A0b, rc - Ac(xc))
         x = x + self._transfer_batch(lv, "p", xc)
+        if not self.post_smooth:
+            return x
         if self._fused_post(i, lv, k):
             # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
             # slab read of a second full-operator apply (see MGLevel)
@@ -1495,6 +1524,8 @@ class DeviceMG:
             for _ in range(self.gamma - 1):
                 xc = xc + self._cycle(i + 1, A0, rc - Ac(xc))
         x = x + self._transfer(lv, "p", xc)
+        if not self.post_smooth:
+            return x
         if self._fused_post(i, lv, k):
             # res(x + P xc) = res1 - (AP) xc: same arithmetic, ~1/8 the
             # slab read of a second full-operator apply (see MGLevel)

@@ -149,12 +149,28 @@ class EMISystem:
                 if bk is None:
                     ok = False
                     break
+                # frozen dof->cell mean-kappa operator: the per-solve
+                # coefficient gather (~40 ms at flagship scale) becomes
+                # one windowed-ELL kernel launch.  Padding lanes carry
+                # zero weight (real cells have vol > 0).
+                k_c = bk.cells_chunk.shape[-1]
+                pad = (
+                    bk.vols_lane[:, :, 0, : bk.C] != 0
+                )[:, :, None, None, :]
+                kbar = PA.build_interp_ellw(
+                    bk,
+                    np.broadcast_to(
+                        pad / k_c,
+                        (bk.n_blocks, bk.n_chunks, 1, k_c, bk.C),
+                    ),
+                )
                 dbk = bk.device(dtype)
                 self.blocked[t] = dict(
                     bk=dbk,
                     grads=dbk.grads_lane,
                     vols=dbk.vols_lane,
                     cells=dbk.cells_chunk,
+                    kbar=None if kbar is None else kbar.device(dtype),
                 )
             self.use_pallas = ok
             if ok:
@@ -253,7 +269,9 @@ class EMISystem:
 
             ctx["wv"] = {
                 t: PA.prepare_emi_weight(
-                    kappa[t], self.blocked[t]["bk"], self.blocked[t]["vols"]
+                    kappa[t], self.blocked[t]["bk"], self.blocked[t]["vols"],
+                    kbar_ellw=self.blocked[t].get("kbar"),
+                    interpret=self.pallas_interpret,
                 )
                 for t in self.tags
             }
@@ -349,7 +367,10 @@ class EMISystem:
         for t in self.tags:
             blk = self.blocked[t]
             bk = blk["bk"]
-            wv, rest_w = PA.prepare_emi_weight(kappa[t], bk, blk["vols"])
+            wv, rest_w = PA.prepare_emi_weight(
+                kappa[t], bk, blk["vols"], kbar_ellw=blk.get("kbar"),
+                interpret=self.pallas_interpret,
+            )
             # wv and g2 are both (NB, NCH, 1, KC)
             g2 = (blk["grads"] ** 2).sum(axis=2, keepdims=True)
             V = wv * g2

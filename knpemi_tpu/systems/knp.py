@@ -189,11 +189,21 @@ class KNPSystem:
                 if bk is None:
                     ok = False
                     break
+                # frozen dof->cell grad(phi) operator: turns the
+                # per-solve drift-context XLA gather (~40 ms at flagship
+                # scale) into one windowed-ELL kernel launch
+                drift = PA.build_interp_ellw(
+                    bk,
+                    bk.grads_lane.reshape(
+                        bk.n_blocks, bk.n_chunks, bk.dim, bk.k, bk.C
+                    ),
+                )
                 dbk = bk.device(dtype)
                 self.blocked[t] = dict(
                     bk=dbk,
                     grads=dbk.grads_lane,
                     vols=dbk.vols_lane,
+                    drift=None if drift is None else drift.device(dtype),
                 )
             self.use_pallas = ok
             if ok:
@@ -231,7 +241,9 @@ class KNPSystem:
 
                 blk = self.blocked[t]
                 ctx["blocked"] = PA.prepare_knp_drift(
-                    phi[t], blk["bk"], blk["grads"]
+                    phi[t], blk["bk"], blk["grads"],
+                    drift_ellw=blk.get("drift"),
+                    interpret=self.pallas_interpret,
                 )
             out[t] = ctx
         return out

@@ -318,3 +318,55 @@ def test_gmres_batched_matches_single():
         x_dir = np.linalg.solve(A_np, b_np[k])
         np.testing.assert_allclose(np.asarray(res_b.x[k]), x_dir,
                                    rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("make", [lambda: unit_square_mms_mesh(12),
+                                  lambda: idealized_3d_mesh(0, l=1)])
+def test_interp_ellw_prep_matches_gather(make):
+    """The frozen windowed-ELL coefficient preparations (mean-vertex
+    kappa, grad(phi) drift context) must reproduce the XLA-gather prep
+    to f32 roundoff — they replace a ~40 ms/solve gather at flagship
+    scale."""
+    from knpemi_tpu.ops.pallas_assembly import build_interp_ellw
+
+    geom = build_geometry(make())
+    for t, sub in geom.subdomains.items():
+        bk = build_blocking(sub.cells, sub.grads, sub.vols, sub.n_dofs,
+                            S=256)
+        assert bk is not None
+        rng = np.random.default_rng(10 + t)
+        kap = jnp.asarray(rng.uniform(1, 2, sub.n_dofs), jnp.float32)
+        phi = jnp.asarray(rng.standard_normal(sub.n_dofs), jnp.float32)
+        g32 = jnp.asarray(bk.grads_lane, jnp.float32)
+        v32 = jnp.asarray(bk.vols_lane, jnp.float32)
+
+        k_c = bk.cells_chunk.shape[-1]
+        pad = (bk.vols_lane[:, :, 0, : bk.C] != 0)[:, :, None, None, :]
+        kbar = build_interp_ellw(
+            bk,
+            np.broadcast_to(pad / k_c,
+                            (bk.n_blocks, bk.n_chunks, 1, k_c, bk.C)),
+        )
+        assert kbar is not None
+        wv_ref, rest_ref = prepare_emi_weight(kap, bk, v32)
+        wv, rest = prepare_emi_weight(
+            kap, bk, v32, kbar_ellw=kbar.device(jnp.float32),
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(wv_ref),
+                                   rtol=1e-5, atol=1e-7)
+
+        drift = build_interp_ellw(
+            bk,
+            bk.grads_lane.reshape(bk.n_blocks, bk.n_chunks, bk.dim,
+                                  bk.k, bk.C),
+        )
+        assert drift is not None
+        w_ref, _ = prepare_knp_drift(phi, bk, g32)
+        w, _ = prepare_knp_drift(
+            phi, bk, g32, drift_ellw=drift.device(jnp.float32),
+            interpret=True,
+        )
+        scale = float(jnp.abs(w_ref).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=1e-5 * scale)

@@ -25,12 +25,117 @@ sys.path.insert(
 from profile_step import timeit, loop_timeit  # noqa: E402
 
 
+def _bisect_tag0(sim, state, phi, I_ch, gate, R):
+    """Tag-0 GMRES cost anatomy: same solve under (rtol, maxiter,
+    forced-trip) variants plus the chained per-iteration body, to
+    attribute the production-vs-forced per-iteration gap."""
+    import jax
+    import jax.numpy as jnp
+
+    from knpemi_tpu.solvers.gmres import gmres_batched
+
+    ks = sim.knp_sys
+    solver = sim.knp_solver
+    mg_t = (solver.mg or {}).get(0)
+    t = 0
+
+    def _payload():
+        return (ks.blocked, ks.mem_blocked)
+
+    def _with_payload(payload, fn):
+        old = _payload()
+        ks.blocked, ks.mem_blocked = payload
+        try:
+            return fn()
+        finally:
+            ks.blocked, ks.mem_blocked = old
+
+    rhs = jax.jit(lambda c, ph, pm, I, payload: _with_payload(
+        payload, lambda: ks.rhs(c, ph, pm, I, gate)))(
+        state.c, phi, state.phi_M, I_ch, _payload())
+    gradphi = jax.jit(lambda ph, payload: _with_payload(
+        payload, lambda: ks.gradphi_cells(ph)))(phi, _payload())
+
+    diag = jnp.broadcast_to(
+        mg_t.fine_diag, (ks.n_solved,) + mg_t.fine_diag.shape)
+    s_eq = 1.0 / jnp.sqrt(jnp.abs(diag))
+    b_t = rhs[t]
+    x0_t = state.c[t][: ks.n_solved]
+
+    def tag_solve(b, x0, s_eq, gp, mg_t, payload, *,
+                  restart, maxiter, rtol, min_iter=None):
+        min_iter = solver.min_iter if min_iter is None else min_iter
+
+        def inner():
+            A_hat = lambda V: s_eq * ks.matvec_batch(t, s_eq * V, gp)
+            M = lambda V: mg_t.apply_batch(lambda W: W, V)
+            res = gmres_batched(
+                A_hat, s_eq * b, x0=x0 / s_eq, M=M,
+                rtol=rtol, atol=solver.atol, maxiter=maxiter,
+                restart=restart, min_iter=min_iter,
+                bdot=solver.bdot,
+            )
+            # TRUE relative residual of the returned iterate (per ion
+            # row), independent of the GMRES recurrence
+            r_true = s_eq * b - A_hat(res.x)
+            rel = jnp.sqrt(solver.bdot(r_true, r_true)) / jnp.sqrt(
+                solver.bdot(s_eq * b, s_eq * b))
+            return s_eq * res.x, res.iters, rel
+
+        return _with_payload(payload, inner)
+
+    from knpemi_tpu.solvers.mg import DeviceMG
+
+    mg10 = DeviceMG(mg_t.levels, mg_t.coarse_V, mg_t.coarse_ilam, mg_t.nu,
+                    mg_t.fine_diag, mg_t.gamma, mg_t.perm, mg_t.iperm,
+                    post_smooth=False)
+    variants = [
+        ("prod rtol, min_it=5 (default) ", mg_t,
+         dict(restart=8, maxiter=1000, rtol=solver.rtol)),
+        ("prod rtol, min_it=0           ", mg_t,
+         dict(restart=8, maxiter=1000, rtol=solver.rtol, min_iter=0)),
+        ("prod rtol, min_it=0, m=30     ", mg_t,
+         dict(restart=30, maxiter=1000, rtol=solver.rtol, min_iter=0)),
+        ("V(1,0)   , min_it=0, m=30     ", mg10,
+         dict(restart=30, maxiter=1000, rtol=solver.rtol, min_iter=0)),
+        ("V(1,0)   , min_it=2, m=30     ", mg10,
+         dict(restart=30, maxiter=1000, rtol=solver.rtol, min_iter=2)),
+    ]
+    for name, mgv, kw in variants:
+        f = jax.jit(lambda b, x0, s_eq, gp, mg_t, payload, kw=kw:
+                    tag_solve(b, x0, s_eq, gp, mg_t, payload, **kw))
+        tms = timeit(f, b_t, x0_t, s_eq, gradphi[t], mgv, _payload(), reps=R)
+        _, it, rel = f(b_t, x0_t, s_eq, gradphi[t], mgv, _payload())
+        import numpy as _np
+        print(f"  {name}: {tms:8.2f} ms  ({int(it)} iters, "
+              f"true rel res {_np.asarray(rel)})")
+
+    # chained per-iteration body: z = M(v); w = A(z) — the true floor
+    V0 = b_t * s_eq
+
+    def body(V, gp, mgv, payload):
+        def inner():
+            Z = mgv.apply_batch(lambda W: W, V)
+            return s_eq * ks.matvec_batch(t, s_eq * Z, gp)
+        return _with_payload(payload, inner)
+
+    t_body = loop_timeit(body, V0, gradphi[t], mg_t, _payload(), K=20)
+    print(f"  chained body (M + A)          : {t_body:8.3f} ms/iter")
+    t_body10 = loop_timeit(body, V0, gradphi[t], mg10, _payload(), K=20)
+    print(f"  chained body, V(1,0)          : {t_body10:8.3f} ms/iter")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="flagship")
     ap.add_argument("--res", type=int, default=1)
     ap.add_argument("--mesh-n", type=int, default=64)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--restart", type=int, default=None,
+                    help="override solver.restart (production-rtol sweep)")
+    ap.add_argument("--bisect-tag0", action="store_true",
+                    help="tag-0 only: separate rtol / maxiter / trip-count "
+                         "effects on the per-iteration cost")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +169,9 @@ def main():
 
     R = args.reps
     ks = sim.knp_sys
+    if args.restart is not None:
+        sim.knp_solver.restart = args.restart
+        print(f"restart overridden to {args.restart}")
     mg = sim.knp_solver.mg or {}
     solver = sim.knp_solver
 
@@ -92,6 +200,10 @@ def main():
 
     print(f"tags: {ks.tags}  n/tag: {[ks.sub[t]['n_dofs'] for t in ks.tags]}"
           f"  ions solved: {ks.n_solved}  use_pallas: {ks.use_pallas}")
+
+    if args.bisect_tag0:
+        _bisect_tag0(sim, state, phi, I_ch, gate, R)
+        return
 
     # --- full solve -----------------------------------------------------
     def full(state, phi, I_ch, mg, payload):

@@ -102,12 +102,25 @@ def main():
     # registered pytree whose scaffolding stays static): closing over
     # the fine banded slab would ship ~4 GB of HLO constants through
     # the remote-compile tunnel.
+    print(f"perm={'yes' if mg.perm is not None else 'no'}  "
+          f"fine-solver-layout="
+          f"{'yes' if mg.levels and mg.levels[0].get('dinv_solver') is not None else 'no'}  "
+          f"nu={mg.nu}")
+    for i, lv in enumerate(mg.levels):
+        print(f"  level {i}: steps={len(lv['steps'])} "
+              f"ap={'band' if lv.get('ap_band') is not None else ('ellw' if lv.get('ap_ellw') is not None else 'none')} "
+              f"fused_post={mg._fused_post(i, lv, len(lv['steps']))}")
+
     x = r0
     for i, lv in enumerate(mg.levels):
-        kind = (
-            "band" if lv.get("a_band") is not None
-            else ("EXACT-A0" if (i == 0 and lv["a_cols"] is None) else "ell")
-        )
+        if lv.get("a_band") is not None:
+            kind = "band"
+        elif lv.get("a_ellw") is not None:
+            kind = "ellw"
+        elif i == 0 and lv.get("a_cols") is None:
+            kind = "EXACT-A0"
+        else:
+            kind = "ell"
         n_i = len(x)
         t_op = loop_timeit(
             lambda v, m, i=i: m._op(i, A0)(v), x, mg, K=20
@@ -115,6 +128,10 @@ def main():
         extra = ""
         if kind == "ell":
             extra = f" Kell={lv['a_vals'].shape[1]}"
+        elif kind == "ellw":
+            e = lv["a_ellw"]
+            extra = (f" K={e.K} Wr={e.Wr} NCH={e.NCH} C={e.C}"
+                     f" far={e.far_cap}")
         elif kind == "band":
             b = lv["a_band"]
             ws = [(w["slabT"].shape, str(w["slabT"].dtype))
@@ -147,6 +164,32 @@ def main():
         mg.coarse_ilam, K=20,
     )
     print(f"coarse dense     : {t_coarse:8.3f} ms  (n={len(x)})", flush=True)
+
+    # ---- attribution: sub-cycle costs + perm gathers (single + B=2) ----
+    if mg.perm is not None:
+        t_g = loop_timeit(lambda v, m: v[m.perm], r0, mg, K=50)
+        R2 = jnp.stack([r0, r0 * 0.5])
+        t_gb = loop_timeit(lambda V, m: V[:, m.perm], R2, mg, K=50)
+        print(f"perm gather      : {t_g:8.3f} ms single, {t_gb:8.3f} ms B=2",
+              flush=True)
+    A0c = A0 if mg.perm is None else (
+        lambda v: A0(v[mg.iperm])[mg.perm]
+    )
+    rc_i = r0 if mg.perm is None else r0[mg.perm]
+    for i in range(len(mg.levels)):
+        t_sub = loop_timeit(
+            lambda v, m, i=i: m._cycle(i, A0c, v), rc_i, mg, K=10
+        )
+        R2i = jnp.stack([rc_i, rc_i * 0.5])
+        t_subb = loop_timeit(
+            lambda V, m, i=i: m._cycle_batch(
+                i, lambda X: jnp.stack([A0c(X[0]), A0c(X[1])]), V
+            ),
+            R2i, mg, K=10,
+        )
+        print(f"cycle from level {i} (n={len(rc_i)}): {t_sub:8.3f} ms single, "
+              f"{t_subb:8.3f} ms B=2", flush=True)
+        rc_i = mg._transfer(mg.levels[i], "pt", rc_i)
     t_all = loop_timeit(lambda v, m: m.apply(A0, v), r0, mg, K=10)
     print(f"FULL V-cycle     : {t_all:8.3f} ms/op", flush=True)
     t_b = loop_timeit(
