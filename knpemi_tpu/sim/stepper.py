@@ -56,6 +56,14 @@ class SolverOptions:
     # --bisect-tag0), while each forced iteration costs ~52 ms.
     # Performance-tuned drivers set 2; the default stays at parity.
     min_iter_knp: int = 5
+    # KNP V-cycle post-smoothing.  False gives the asymmetric V(1,0)
+    # cycle — legal as a flexible-GMRES preconditioner (the KNP solve
+    # stores Z[j] = M(V[j]); solvers/gmres.py), NOT for the EMI CG,
+    # whose hierarchy always keeps the symmetric V(1,1).  Skipping the
+    # post pass drops the V-cycle's largest single op; whether the
+    # extra Krylov iterations eat the saving is workload-dependent —
+    # measure with tools/profile_knp.py before flipping.
+    knp_post_smooth: bool = True
     # EMI preconditioner: 'mg' (smoothed-aggregation AMG, the BoomerAMG
     # analog, solvers/mg.py) or 'jacobi' (deflated Jacobi fallback)
     emi_precond: str = "mg"
@@ -502,6 +510,8 @@ class Simulation:
                 self.dtype, band_dtype=self._band_dtype,
                 band_pallas=self._use_pallas,
             )
+            mg[t].post_smooth = bool(
+                getattr(self.opts, "knp_post_smooth", True))
             _smark(f"knp_mg[{t}]: device upload")
             # lagged equilibration scale: the drift contribution to the
             # diagonal is negligible next to the 1/dt mass term, so the
