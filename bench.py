@@ -36,8 +36,13 @@ Environment knobs:
   KNPEMI_BENCH_STEPS = int     (default 10 timed steps)
   KNPEMI_BENCH_CPU   = 0|1     (default 1: measure the CPU baseline)
   KNPEMI_BENCH_CPU_STEPS = int (default 5)
-  KNPEMI_BENCH_BIG / KNPEMI_BENCH_FLAGSHIP / KNPEMI_BENCH_CPU_F64 = 0|1
-  KNPEMI_BENCH_CASE_TIMEOUT = seconds for the big/flagship children
+  KNPEMI_BENCH_BIG / KNPEMI_BENCH_FLAGSHIP / KNPEMI_BENCH_CPU_F64
+    / KNPEMI_BENCH_FLAGSHIP_CPU = 0|1
+  KNPEMI_BENCH_CASE_TIMEOUT = seconds for the big child
+  KNPEMI_BENCH_BUDGET = total wall-clock budget in seconds (default
+    2550; children are clamped/skipped to fit, and the merged JSON is
+    re-printed after every completed stage so a driver-side kill can
+    never erase already-measured results)
 """
 
 import json
@@ -180,10 +185,7 @@ def _child_big():
     }
 
 
-def _child_flagship():
-    """The astrocyte-class tissue scenario (3 subdomains, 2 membranes —
-    HH neuron + Kir glial — pulsed ECS source) at 840k dofs/step: the
-    workload class BASELINE.md's 10x gate is defined on."""
+def _build_flagship(dtype=None):
     sys.path.insert(0, str(_HERE / "examples" / "astrocyte"))
     from run_stim_duration import build_simulation as build_astro
     from knpemi_tpu.sim.config import load_config, DEFAULTS
@@ -193,7 +195,14 @@ def _child_flagship():
         load_config(_HERE / "examples/astrocyte/config_files/baseline.yml")
     )
     cfg["mesh_n"] = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_N", "64"))
-    sim_fl = build_astro(cfg)
+    return build_astro(cfg, dtype=dtype), cfg
+
+
+def _child_flagship():
+    """The astrocyte-class tissue scenario (3 subdomains, 2 membranes —
+    HH neuron + Kir glial — pulsed ECS source) at 840k dofs/step: the
+    workload class BASELINE.md's 10x gate is defined on."""
+    sim_fl, cfg = _build_flagship()
     dofs_fl = _dofs_per_step(sim_fl)
     n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "3"))
     wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
@@ -209,11 +218,39 @@ def _child_flagship():
     }
 
 
+def _child_flagship_cpu_f64():
+    """Reference-arithmetic baseline on the gate's own workload: the
+    flagship step at f64 on the host CPU (BASELINE.md defines the 10x
+    gate on the 3-D astrocyte case; the real CPU-PETSc stack is not
+    installable here, so the own-build CPU-f64 step is the stand-in —
+    same splitting scheme, same tolerances, f64 like PETSc).  Reuses the
+    content-keyed MG disk cache populated by the TPU flagship child."""
+    os.environ["KNPEMI_X64"] = "1"
+    os.environ["KNPEMI_PALLAS"] = "0"
+    os.environ["KNPEMI_BANDED"] = "0"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    sim_fl, _ = _build_flagship(dtype=jnp.float64)
+    dofs_fl = _dofs_per_step(sim_fl)
+    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_CPU_STEPS", "2"))
+    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
+    return {
+        "dofs": dofs_fl,
+        "ms_per_step": round(wall_fl / n_fl * 1e3, 1),
+        "emi_iters": int(ie[-1]),
+        "knp_iters": int(ik[-1]),
+    }
+
+
 _CHILDREN = {
     "core": _child_core,
     "cpu_f64": _child_cpu_f64,
     "big": _child_big,
     "flagship": _child_flagship,
+    "flagship_cpu_f64": _child_flagship_cpu_f64,
 }
 
 
@@ -252,7 +289,22 @@ def main():
 
     case = os.environ.get("KNPEMI_BENCH_CASE", "3d")
     res = int(os.environ.get("KNPEMI_BENCH_RES", "1" if case == "3d" else "4"))
-    big_timeout = int(os.environ.get("KNPEMI_BENCH_CASE_TIMEOUT", "1800"))
+    big_timeout = int(os.environ.get("KNPEMI_BENCH_CASE_TIMEOUT", "900"))
+
+    # Wall-clock budget for the WHOLE bench (round 3 lesson: the driver
+    # kills the process with `timeout` and a late-child overrun then
+    # destroys every result — BENCH_r03.json rc=124, parsed null).  Two
+    # defenses: (a) the merged JSON line is re-printed + flushed after
+    # every completed stage, so a kill still leaves the latest valid
+    # line on stdout; (b) each child's subprocess timeout is clamped to
+    # the remaining budget and children are skipped outright when too
+    # little remains, so normally we finish and exit 0 well inside the
+    # driver's cap.
+    budget = float(os.environ.get("KNPEMI_BENCH_BUDGET", "2550"))
+    deadline = time.monotonic() + budget
+
+    def remaining():
+        return deadline - time.monotonic()
 
     out = {
         "metric": "knpemi_mdof_per_s_per_chip",
@@ -261,53 +313,106 @@ def main():
         "vs_baseline": None,
     }
 
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    def stage(key, child, *, min_budget, timeout, run_if=True):
+        """Run one child under the budget; update out[key]; re-emit."""
+        if not run_if:
+            return None
+        if remaining() < min_budget:
+            out[key] = {"skipped": f"budget ({remaining():.0f}s left)"}
+            emit()
+            return None
+        try:
+            result = _run_child(
+                child, timeout=max(60, min(timeout, remaining() - 30))
+            )
+            out[key] = result
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            out[key] = {"error": str(e)[:200]}
+            result = None
+        emit()
+        return result
+
+    dofs = None
     try:
-        core = _run_child("core", timeout=2400)
+        core = _run_child(
+            "core", timeout=max(60, min(2400, remaining() - 30))
+        )
         dofs = core.pop("_dofs")
         core.pop("_case", None)
         core.pop("_res", None)
         out.update(core)
+        out["_dofs"] = dofs
     except Exception as e:  # noqa: BLE001 — bench must still report
         out["error"] = str(e)[:200]
-        print(json.dumps(out))
+    emit()
+    if dofs is None:
         return
 
     if case == "3d" and os.environ.get("KNPEMI_BENCH_CPU_F64", "1") == "1":
-        try:
-            f64 = _run_child("cpu_f64", timeout=960)
+        f64 = stage("cpu_f64", "cpu_f64", min_budget=240, timeout=960)
+        if f64 and "ms_per_step" in f64:
             cpu64_mdofs = dofs / (f64["ms_per_step"] / 1e3) / 1e6
             out["cpu_f64_ms_per_step"] = round(f64["ms_per_step"], 1)
             out["vs_baseline_f64"] = round(out["value"] / cpu64_mdofs, 3)
+            del out["cpu_f64"]
             print(
                 f"# cpu f64 (reference-arithmetic proxy): "
                 f"{f64['ms_per_step']:.1f} ms/step -> "
                 f"{out['vs_baseline_f64']:.2f}x",
                 file=sys.stderr,
             )
-        except Exception as e:  # noqa: BLE001
-            out["vs_baseline_f64"] = None
-            print(f"# cpu f64 leg failed: {e}", file=sys.stderr)
+            emit()
 
-    if case == "3d" and res == 1 and os.environ.get(
-        "KNPEMI_BENCH_BIG", "1"
+    stage(
+        "big_case",
+        "big",
+        min_budget=300,
+        timeout=big_timeout,
+        run_if=(
+            case == "3d"
+            and res == 1
+            and os.environ.get("KNPEMI_BENCH_BIG", "1") == "1"
+        ),
+    )
+
+    fl = stage(
+        "flagship",
+        "flagship",
+        min_budget=420,
+        timeout=int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_TIMEOUT", "1500")),
+        run_if=(
+            case == "3d"
+            and os.environ.get("KNPEMI_BENCH_FLAGSHIP", "1") == "1"
+        ),
+    )
+
+    if fl and "ms_per_step" in fl and os.environ.get(
+        "KNPEMI_BENCH_FLAGSHIP_CPU", "1"
     ) == "1":
-        try:
-            out["big_case"] = _run_child("big", timeout=big_timeout)
-        except Exception as e:  # noqa: BLE001
-            out["big_case"] = {"error": str(e)[:200]}
-
-    if case == "3d" and os.environ.get("KNPEMI_BENCH_FLAGSHIP", "1") == "1":
-        try:
-            out["flagship"] = _run_child(
-                "flagship",
-                timeout=int(
-                    os.environ.get("KNPEMI_BENCH_FLAGSHIP_TIMEOUT", "3000")
-                ),
+        # The BASELINE.md 10x gate is defined on this workload: measure
+        # the CPU-f64 leg on it, not only on the res-1 core case.
+        flc = stage(
+            "flagship_cpu_f64", "flagship_cpu_f64",
+            min_budget=300, timeout=1200,
+        )
+        if flc and "ms_per_step" in flc:
+            out["flagship"]["vs_cpu_f64"] = round(
+                flc["ms_per_step"] / fl["ms_per_step"], 2
             )
-        except Exception as e:  # noqa: BLE001
-            out["flagship"] = {"error": str(e)[:200]}
+            out["flagship"]["cpu_f64_ms_per_step"] = flc["ms_per_step"]
+            del out["flagship_cpu_f64"]
+            print(
+                f"# flagship cpu f64: {flc['ms_per_step']:.1f} ms/step -> "
+                f"{out['flagship']['vs_cpu_f64']:.2f}x",
+                file=sys.stderr,
+            )
+            emit()
 
-    print(json.dumps(out))
+    out.pop("_dofs", None)
+    emit()
 
 
 if __name__ == "__main__":
