@@ -6,7 +6,7 @@ but never checkpoints the gating variables and implements no resume
 :class:`SimState` pytree — concentrations, potentials, membrane
 potential, ODE states AND parameters, time, step counter — round-trips
 through a single compressed .npz, and ``Simulation.run`` continues from
-any loaded state bit-exactly (tests/test_checkpoint.py).
+any loaded state bit-exactly (tests/test_io.py).
 """
 
 from __future__ import annotations

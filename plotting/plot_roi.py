@@ -1,19 +1,19 @@
 #!/usr/bin/env python3
-"""ROI slice renderings of a 3-D tissue geometry (matplotlib analog of
-the reference's pyvista plotting/plot_roi.py:45-305).
+"""ROI renderings of a 3-D tissue geometry (matplotlib analog of the
+reference's pyvista plotting/plot_roi.py:45-305).
 
 For each slice normal (x, y, z) through the ROI center this renders:
 
-* the subdomain geometry on the slice plane (ECS / per-cell colors,
-  reference color conventions),
+* the exact cross-section of the subdomain geometry on the slice plane
+  (marching-tetrahedra polygons via render3d.plane_slice — the analog
+  of pyvista ``grid.slice()``; ECS / per-cell reference colors),
 * optionally a vertex field on the slice (a named field from a
   TimeSeriesWriter XDMF, or the computed local ECS width between two
   membranes — the reference's grid_ECS_width/grid_glial_width views),
-* the ROI box outline.
-
-pyvista is absent in this environment; slices are drawn by selecting
-the tetrahedra crossing the plane and painting their dof points
-(scatter) — legible for the dense tissue meshes this targets.
+* the ROI box outline,
+* with ``--surface``, a 3-D membrane-surface rendering of the ROI
+  (Poly3DCollection triangles, z-sorted; optional width coloring) —
+  the pyvista-free analog of the reference's surface views.
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ import matplotlib.pyplot as plt
 from matplotlib.patches import Rectangle
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SUB_COLORS = {0: "#4e5f70", 1: "#16a085", 2: "#ff67ff", 3: "#00ff00"}
 AXES = {"x": 0, "y": 1, "z": 2}
@@ -74,6 +75,10 @@ def main():
                     help="field name in --timeseries (last step is drawn)")
     ap.add_argument("--field-tag", type=int, default=0,
                     help="subdomain tag the field lives on")
+    ap.add_argument("--surface", action="store_true",
+                    help="also render the 3-D membrane surfaces in the "
+                         "ROI (Poly3DCollection; colored by local ECS "
+                         "width when --width-tags is given)")
     ap.add_argument("--out", default="roi.png")
     args = ap.parse_args()
 
@@ -107,11 +112,14 @@ def main():
     hi = np.asarray(args.roi[3:])
     origin = 0.5 * (lo + hi)
 
+    import render3d
+
     fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+    fields = {field_tag: field} if field is not None else None
     for ax, normal in zip(axes, "xyz"):
         n = AXES[normal]
         keep = [d for d in range(3) if d != n]
-        sc = slice_scatter(ax, geom, normal, origin, field, field_tag)
+        sc = render3d.plane_slice(ax, geom, n, origin, fields=fields)
         ax.add_patch(Rectangle(
             (lo[keep[0]], lo[keep[1]]),
             hi[keep[0]] - lo[keep[0]], hi[keep[1]] - lo[keep[1]],
@@ -124,6 +132,31 @@ def main():
     fig.tight_layout()
     fig.savefig(args.out, dpi=130, bbox_inches="tight")
     print("wrote", args.out)
+
+    if args.surface:
+        fig3 = plt.figure(figsize=(9, 7))
+        ax3 = fig3.add_subplot(111, projection="3d")
+        wfields = None
+        if args.width_tags:
+            sys.path.insert(
+                0,
+                str(Path(__file__).resolve().parents[1]
+                    / "examples" / "astrocyte" / "tools"),
+            )
+            from compute_local_width import local_ecs_width
+
+            ta, tb = args.width_tags
+            wfields = {ta: local_ecs_width(geom, ta, tb) * 1e7}
+        mp = render3d.membrane_surface(
+            ax3, geom, fields=wfields, clip=(lo, hi),
+        )
+        render3d.roi_box_outline(ax3, lo, hi)
+        if mp is not None:
+            fig3.colorbar(mp, ax=ax3, shrink=0.7, label="ECS width (nm)")
+        ax3.set_title("membrane surfaces in ROI")
+        out3 = str(Path(args.out).with_suffix("")) + "_surface.png"
+        fig3.savefig(out3, dpi=130, bbox_inches="tight")
+        print("wrote", out3)
 
     if args.width_tags:
         sys.path.insert(

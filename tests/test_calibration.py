@@ -4,6 +4,10 @@ must stay at rest under this framework's implementation of the closed
 compartment model — the reference's own implicit quality check
 (run_calibration.py:99-114)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

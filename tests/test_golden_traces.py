@@ -13,6 +13,10 @@ the harness a reference-generated trace drops into once one exists
 (see RESULTS.md "Reference parity" for the honest gap statement).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import sys

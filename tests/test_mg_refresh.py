@@ -8,6 +8,10 @@ recompilation), (b) still preconditions the perturbed operator to
 convergence, and (c) does not do worse than the stale hierarchy.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

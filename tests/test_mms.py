@@ -15,6 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from knpemi_tpu.mesh import unit_square_mms_mesh
 from knpemi_tpu.ops.geometry import build_geometry
 from knpemi_tpu.systems.mms import reference_mms_case, build_mms_data, l2_error

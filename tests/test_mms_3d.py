@@ -1,6 +1,10 @@
 """3-D MMS convergence — validates the tetrahedral kernels end-to-end
 (the reference verifies only in 2-D, run_mms.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

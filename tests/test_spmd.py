@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples" / "idealized"))
 
 from run_2d import build_simulation  # noqa: E402
