@@ -216,23 +216,28 @@ def _shard_band(band, Bd: int, Bc: int, n_dev: int, dtype):
             )
         )
         metas.append(_WinMeta(W=W, NBloc=NBloc, hop_lo=hop_lo, hop_hi=hop_hi))
-    # far remainder: rows local, cols GLOBAL (gather_replicated per apply)
-    owner = fr // Bd
-    counts = np.bincount(owner, minlength=n_dev) if len(fr) else np.zeros(
-        n_dev, np.int64
-    )
-    f_max = int(counts.max()) if len(fr) else 0
+    # Far remainder: the column-gather (gather_replicated) psums
+    # x_loc[cols] contributions ACROSS devices, so the cols array must
+    # be IDENTICAL on every device (a per-device cols array silently
+    # mixes different gid sets in the psum — the round-3 bug that broke
+    # every level with far entries; tools/debug_smg.py caught it on the
+    # 3-D hierarchy).  Store one replicated cols array of ALL far
+    # entries; rows/vals are per-device copies masked to the device's
+    # own rows (foreign entries: val 0 adding at row 0 — harmless).
+    f_max = len(fr)
     frl = np.zeros((n_dev, max(f_max, 1)), np.int32)
-    fcl = np.zeros((n_dev, max(f_max, 1)), np.int32)
     fvl = np.zeros((n_dev, max(f_max, 1)), np.float64)
-    for d in range(n_dev):
-        ids = np.flatnonzero(owner == d)
-        frl[d, : len(ids)] = fr[ids] - d * Bd
-        fcl[d, : len(ids)] = fc[ids]
-        fvl[d, : len(ids)] = fv[ids]
+    fc_rep = np.zeros(max(f_max, 1), np.int32)
+    if f_max:
+        owner = fr // Bd
+        fc_rep[:] = fc
+        for d in range(n_dev):
+            own = owner == d
+            frl[d, own] = fr[own] - d * Bd
+            fvl[d, own] = fv[own]
     data["far"] = dict(
         rows=jnp.asarray(frl),
-        cols=jnp.asarray(fcl),
+        cols_rep=jnp.asarray(fc_rep),
         vals=jnp.asarray(fvl, dtype=dtype),
     )
     return data, metas, f_max
@@ -361,7 +366,9 @@ def _smv(op_data, wins: List[_WinMeta], f_max: int, Bd: int, Bc: int,
         y = y + ys
     if f_max:
         far = op_data["far"]
-        xc = gather_replicated(x_loc, far["cols"], Bc)
+        # cols_rep is replicated (identical on every device) — required
+        # for the cross-device psum inside gather_replicated
+        xc = gather_replicated(x_loc, far["cols_rep"], Bc)
         y = y.at[far["rows"]].add(far["vals"] * xc)
     return y
 
@@ -373,10 +380,26 @@ def smg_specs(data):
     from jax.sharding import PartitionSpec as P
 
     sh = lambda x: P(AXIS, *([None] * (x.ndim - 1)))
+
+    def op_specs(tree):
+        # dict-aware: far["cols_rep"] is replicated, everything else
+        # shards its leading device axis
+        def _map(node):
+            if isinstance(node, dict):
+                return {
+                    k: (P() if k == "cols_rep" else _map(v))
+                    for k, v in node.items()
+                }
+            if isinstance(node, list):
+                return [_map(v) for v in node]
+            return sh(node)
+
+        return _map(tree)
+
     out = {
-        "levels": jax.tree.map(sh, data["levels"]),
-        "p": jax.tree.map(sh, data["p"]),
-        "pt": jax.tree.map(sh, data["pt"]),
+        "levels": op_specs(data["levels"]),
+        "p": op_specs(data["p"]),
+        "pt": op_specs(data["pt"]),
         "coarse": jax.tree.map(lambda x: P(), data["coarse"]),
         "fine_diag": sh(data["fine_diag"]),
     }
@@ -389,7 +412,17 @@ def smg_specs(data):
 def squeeze_smg(data):
     """Drop the size-1 device axis shard_map leaves on sharded leaves
     (replicated coarse factors arrive whole)."""
-    sq = lambda tree: jax.tree.map(lambda x: x[0], tree)
+    def sq(node):
+        # mirror smg_specs: replicated far cols arrive whole
+        if isinstance(node, dict):
+            return {
+                k: (v if k == "cols_rep" else sq(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [sq(v) for v in node]
+        return node[0]
+
     out = {
         "levels": sq(data["levels"]),
         "p": sq(data["p"]),

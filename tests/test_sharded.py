@@ -253,3 +253,68 @@ def test_sharded_distributed_mg():
     # smoother+coarse V-cycle.)
     assert int(p1.emi_iters) <= 30
     assert int(p1.knp_iters) <= 30
+
+
+def test_smv_far_entries_match_scipy():
+    """_shard_band + _smv with a NONEMPTY far (outside-window) set.
+
+    Regression for the round-3 bug where each device passed its own
+    far-cols array to gather_replicated, whose cross-device psum then
+    mixed different gid sets — every hierarchy level with far entries
+    produced a wrong matvec (first seen as EMI 300 / KNP 51 iterations
+    on the 3-D res-1 dryrun; tools/debug_smg.py).  The far cols must be
+    replicated; per-device rows/vals masked."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from jax.sharding import Mesh
+
+    from knpemi_tpu.parallel.sharded import AXIS
+    from knpemi_tpu.parallel import sharded_mg as SMG
+    from knpemi_tpu.solvers.mg import _csr_to_banded
+
+    n_dev, n = 8, 8 * 256 * 2
+    rng = np.random.default_rng(7)
+    A = sp.diags([-1.0, 2.5, -1.0], [-1, 0, 1], shape=(n, n)).tolil()
+    # scatter far entries that cross several device blocks
+    rr = rng.integers(0, n, 200)
+    cc = rng.integers(0, n, 200)
+    A[rr, cc] = rng.standard_normal(200)
+    A = A.tocsr()
+
+    band = _csr_to_banded(A, R=256)
+    assert band is not None
+    Bd = SMG._device_row_split(n, n_dev)
+    data, metas, f_max = SMG._shard_band(band, Bd, Bd, n_dev, jnp.float32)
+    assert f_max > 0, "test must exercise the far path"
+    # replicated far cols: identical array, not per-device
+    assert data["far"]["cols_rep"].ndim == 1
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+
+    def apply_op(x_loc, dat):
+        def sq(node):
+            if isinstance(node, dict):
+                return {k: (v if k == "cols_rep" else sq(v))
+                        for k, v in node.items()}
+            if isinstance(node, list):
+                return [sq(v) for v in node]
+            return node[0]
+
+        return SMG._smv(sq(dat), metas, f_max, Bd, Bd, x_loc, n_dev)
+
+    def specs(node, name=None):
+        if isinstance(node, dict):
+            return {k: specs(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [specs(v) for v in node]
+        return P() if name == "cols_rep" else P(AXIS, *([None] * (node.ndim - 1)))
+
+    x = rng.standard_normal(n).astype(np.float32)
+    f = jax.jit(shard_map(
+        apply_op, mesh=mesh, in_specs=(P(AXIS), specs(data)),
+        out_specs=P(AXIS), check_vma=False,
+    ))
+    y = np.asarray(f(jnp.asarray(x), data))
+    y_ref = A @ x.astype(np.float64)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
