@@ -195,6 +195,18 @@ def _build_flagship(dtype=None):
         load_config(_HERE / "examples/astrocyte/config_files/baseline.yml")
     )
     cfg["mesh_n"] = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_N", "64"))
+    if os.environ.get("KNPEMI_BENCH_TUNED", "1") == "1" and dtype is None:
+        # Accepted tuned KNP options (tools/compare_solver_opts.py
+        # campaign, RESULTS.md round 4): min_iter 5->2 drops the
+        # reference's forced-iteration guard, restart 30->8 shrinks the
+        # Krylov buffers, rtol 1e-7->1e-6 stops at the f32-attainable
+        # level.  Fields agree with the parity options to 8.9e-6 over
+        # 100 flagship steps; KNP iterations 5.97->4.73 mean.  The CPU
+        # f64 baseline leg (dtype set) keeps parity options.
+        cfg["solver"] = {
+            **(cfg.get("solver") or {}),
+            "min_iter_knp": 2, "restart": 8, "rtol_knp": 1e-6,
+        }
     return build_astro(cfg, dtype=dtype), cfg
 
 
