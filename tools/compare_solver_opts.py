@@ -67,6 +67,12 @@ def main():
                          "reference-parity 1e-7; the f32 attainable "
                          "floor is ~2.6e-6, so a looser in-cycle rtol "
                          "can cut dead iterations if the fields agree)")
+    ap.add_argument("--rtol-emi", type=float, default=None,
+                    help="tuned EMI CG rtol (default: keep the "
+                         "reference-parity 1e-6; profile_emi shows the "
+                         "true residual floors at ~3e-3 equilibrated "
+                         "regardless, so trailing iterations can be "
+                         "dead weight)")
     ap.add_argument("--knp-post-smooth", choices=["on", "off"],
                     default="on",
                     help="tuned KNP V-cycle post-smoothing: 'off' = the "
@@ -93,10 +99,12 @@ def main():
     print(f"# built: {sim.geom.emi_size} EMI dofs, "
           f"setup {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
-    def one_run(min_iter: int, restart: int, rtol=None, post_smooth=True):
+    def one_run(min_iter: int, restart: int, rtol=None, post_smooth=True,
+                rtol_emi=None):
         sim.knp_solver.min_iter = min_iter
         sim.knp_solver.restart = restart
         sim.knp_solver.rtol = rtol if rtol is not None else 1e-7
+        sim.emi_solver.rtol = rtol_emi if rtol_emi is not None else 1e-6
         for mg_t in (sim.knp_solver.mg or {}).values():
             # static pytree aux: flipping retraces the chunk (caches are
             # cleared below anyway)
@@ -119,6 +127,7 @@ def main():
     tun, ite_b, itk_b, wall_b = one_run(
         args.min_iter, args.restart, rtol=args.rtol_knp,
         post_smooth=args.knp_post_smooth == "on",
+        rtol_emi=args.rtol_emi,
     )
 
     def rel(a, b):
