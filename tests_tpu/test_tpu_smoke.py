@@ -81,16 +81,20 @@ def test_banded_matvec_mosaic():
     assert band is not None
     windows, fr, fc, fv, nn, mm = band
     x = jnp.asarray(np.random.default_rng(5).standard_normal(n), jnp.float32)
-    y = sum(
+    y = np.asarray(sum(
         banded_matvec(
             jnp.asarray(sT, jnp.float32),
             jnp.asarray(w0 // 128, jnp.int32),
             x, nn, W, interpret=False,
         )
         for sT, w0, W in windows
-    )
+    ))
+    # the layout's COO far remainder (w0 lane alignment pushes a few
+    # boundary entries outside the windows) is part of the contract
+    if len(fr):
+        np.add.at(y, fr, fv * np.asarray(x)[fc])
     ref = A @ np.asarray(x, np.float64)
-    assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 1e-5
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
 def test_coupled_step_compiles_and_runs():
