@@ -79,6 +79,50 @@ def probe_figure(res: Path, points, out: str):
     print("wrote", out)
 
 
+def panel_figure(res: Path, point, out: str):
+    """Reference-style multi-field publication panel (astrocyte
+    make_figures.py:135-334 ``plot_3D_concentration``): at one spatial
+    point, traces of [K+], [Na+], [Cl-] and phi in EVERY subdomain that
+    saved a field series (ECS / neuron / glial), each evaluated at the
+    subdomain's nearest dof to the point."""
+    from knpemi_tpu.io import TimeSeriesReader
+
+    names = {0: "ECS", 1: "neuron", 2: "glial"}
+    series = sorted(res.glob("results_sub_*.xdmf"))
+    if not series:
+        raise SystemExit(f"no saved field series under {res}")
+    rows = []
+    for f in series:
+        tag = int(f.stem.rsplit("_", 1)[1])
+        rows.append((tag, TimeSeriesReader(str(f))))
+    fig, axes = plt.subplots(len(rows), 4,
+                             figsize=(17, 3.4 * len(rows)), squeeze=False)
+    p = np.asarray(point, float)
+    for r, (tag, rd) in enumerate(rows):
+        # snap to the subdomain's nearest dof (the point generally lies
+        # inside only one subdomain's submesh)
+        q = rd.points[np.argmin(((rd.points - p) ** 2).sum(1))]
+        t = np.asarray(rd.times)
+        for c, (fld, lab) in enumerate([
+            (f"c_K_{tag}", "$[K^+]$ (mM)"),
+            (f"c_Na_{tag}", "$[Na^+]$ (mM)"),
+            (f"c_Cl_{tag}", "$[Cl^-]$ (mM)"),
+            (f"phi_{tag}", r"$\phi$ (mV)"),
+        ]):
+            tr = rd.evaluate(fld, [q])[:, 0]
+            ax = axes[r][c]
+            ax.plot(t, tr, linewidth=2.5,
+                    color={0: "b", 1: "r", 2: "m"}.get(tag, "k"))
+            ax.set_title(f"{names.get(tag, tag)}: {lab}", fontsize=10)
+            if r == len(rows) - 1:
+                ax.set_xlabel("t (ms)")
+    um = ", ".join(f"{x * 1e4:.1f}" for x in p)
+    fig.suptitle(f"field traces at ({um}) um (nearest dof per subdomain)")
+    fig.tight_layout()
+    fig.savefig(out, dpi=130, bbox_inches="tight")
+    print("wrote", out)
+
+
 def _normalize(v):
     """Map a trace onto [0, 1] (reference make_figures.py:336-347)."""
     v = np.asarray(v, float)
@@ -120,9 +164,18 @@ def main():
         "--compare", nargs="+", default=None, metavar="DIR",
         help="results dirs for a normalized multi-config comparison",
     )
+    ap.add_argument(
+        "--panel", default=None, metavar="X,Y,Z",
+        help="multi-field panel (K/Na/Cl/phi per subdomain) at a point "
+             "(cm) — reference plot_3D_concentration parity",
+    )
     args = ap.parse_args()
 
     res = Path(args.results)
+    if args.panel:
+        p = [float(x) for x in args.panel.split(",")]
+        panel_figure(res, p, args.out or str(res / "panel.png"))
+        return
     if args.compare:
         compare_figure(args.compare, args.out or "compare_configs.png")
         return
