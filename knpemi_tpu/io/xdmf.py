@@ -173,6 +173,12 @@ def read_mesh(path: str, cell_tag_name="cell_marker",
         elif tdim(tt) == cdim - 1:
             facet_ents, facet_vals = np.sort(ents, 1), vals
 
+    if cell_tags.max(initial=0) == 0 and cvals0 is not None:
+        # the mesh grid carries its own cell attribute under a name
+        # other than cell_tag_name (e.g. emimesh writes "mesh"): better
+        # the present tags than silently-zero ones
+        cell_tags = np.asarray(cvals0, np.int32)
+
     if tt0 == "hexahedron":
         # reference idealized 3-D meshes are dolfinx box hexes
         # (make_mesh_3D.py:99-102): split to face-consistent Kuhn tets

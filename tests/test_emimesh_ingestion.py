@@ -93,3 +93,16 @@ def test_remark_membrane_slab_split(tmp_path):
     mids = out.facet_midpoints(np.flatnonzero(mem))
     assert (out.facet_tags[mem][mids[:, 0] < 1500.0e-7] == 5).all()
     assert (out.facet_tags[mem][mids[:, 0] > 2500.0e-7] == 7).all()
+
+
+def test_read_mesh_default_names_fall_back(tmp_path):
+    """read_mesh with DEFAULT tag names must still pick up cell tags
+    written under emimesh's names ("mesh"/"mesh_facets") — the driver's
+    config mesh_file path reads without explicit names (round-4 fix:
+    tags were silently zero and the remark produced no membranes)."""
+    src = _synthetic_emimesh(n=4)
+    path = tmp_path / "mesh.xdmf"
+    write_mesh(path, src, cell_tag_name="mesh", facet_tag_name="mesh_facets")
+    back = read_mesh(path)  # no tag names given
+    assert np.array_equal(back.cell_tags, src.cell_tags)
+    assert np.array_equal(back.facet_tags, src.facet_tags)
