@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Bisect the sharded step's overhead (measured 17.6x on CPU, 83x on
-TPU vs the single-device step at res 1, tools/bench_sharded_overhead.py).
+"""Bisect the sharded step's overhead (round-4 TPU: 2.24x vs the
+single-device step at res 1 — 86 vs 38.5 ms, dominated by per-step
+fixed machinery; tools/bench_sharded_overhead.py).
 
 Times the 1-device shard_map step under solver-tolerance ablations so
 the stage costs separate without internal surgery:
