@@ -199,16 +199,16 @@ def _build_flagship(dtype=None):
         # Accepted tuned KNP options (tools/compare_solver_opts.py
         # campaign, RESULTS.md round 4): min_iter 5->2 drops the
         # reference's forced-iteration guard, restart 30->8 shrinks the
-        # Krylov buffers, rtol 1e-7->1e-6 stops at the f32-attainable
+        # Krylov buffers, rtol 1e-7->3e-6 stops at the f32-attainable
         # level; EMI rtol 1e-6->1e-5 (the true residual floors at
         # ~3e-3 equilibrated by iteration 4 — tools/profile_emi.py).
         # Fields agree with the parity options to 8.8e-6 over 100
-        # flagship steps; KNP iterations 5.97->4.73, EMI 8.34->6.60
+        # flagship steps; KNP iterations 5.97->3.99, EMI 8.34->6.59
         # mean.  The CPU f64 baseline leg (dtype set) keeps parity
         # options.
         cfg["solver"] = {
             **(cfg.get("solver") or {}),
-            "min_iter_knp": 2, "restart": 8, "rtol_knp": 1e-6,
+            "min_iter_knp": 2, "restart": 8, "rtol_knp": 3e-6,
             "rtol_emi": 1e-5,
         }
     return build_astro(cfg, dtype=dtype), cfg
