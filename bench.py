@@ -64,12 +64,16 @@ def _dofs_per_step(sim):
     return n_emi + n_knp
 
 
-def _time_steps(sim, n_steps):
+def _time_steps(sim, n_steps, warmup_steps: int = 1):
     """Compile one single-step chunk, then time it n_steps times (one
-    compilation unit; remote-TPU compiles are expensive)."""
+    compilation unit; remote-TPU compiles are expensive).  Extra
+    warmup_steps advance the state before the timed window so the
+    sample is representative (e.g. past a stimulus onset) rather than
+    the resting first steps where the Krylov solves exit early."""
     state = sim.init_state()
     chunk = sim._chunk(1)
-    state, _ = chunk(state)  # warm-up/compile
+    for _ in range(max(1, warmup_steps)):  # first call compiles
+        state, _ = chunk(state)
     state.t.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -220,8 +224,11 @@ def _child_flagship():
     workload class BASELINE.md's 10x gate is defined on."""
     sim_fl, cfg = _build_flagship()
     dofs_fl = _dofs_per_step(sim_fl)
-    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "3"))
-    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
+    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "5"))
+    # warm past the pulsed-source onset (delay 1 ms = 10 steps at dt
+    # 0.1) so the timed window samples stimulated-regime solves, not
+    # the resting first steps where KNP exits at 2 iterations
+    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl, warmup_steps=12)
     ms_step = wall_fl / n_fl * 1e3
     return {
         "dofs": dofs_fl,
@@ -252,7 +259,8 @@ def _child_flagship_cpu_f64():
     sim_fl, _ = _build_flagship(dtype=jnp.float64)
     dofs_fl = _dofs_per_step(sim_fl)
     n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_CPU_STEPS", "2"))
-    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl)
+    # same stimulated-regime sampling window as the TPU flagship child
+    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl, warmup_steps=12)
     return {
         "dofs": dofs_fl,
         "ms_per_step": round(wall_fl / n_fl * 1e3, 1),
