@@ -171,17 +171,30 @@ def build_ellw(
         return np.clip((q // 8) * 8, 0, None)
 
     if force_shape is None:
-        # smallest 8-multiple window covering enough entries
-        Wr = None
+        # Smallest 8-multiple window covering enough entries — but keep
+        # widening (up to 2x that width) if a SPILL-FREE window exists:
+        # far entries pay a ~28 ns/entry gather+scatter per apply, so
+        # e.g. the flagship EMI fine level at Wr=72 carried 117k far
+        # entries (~3.3 ms/apply) that a Wr=96 window absorbs outright
+        # into the streamed slab (round-4 probe; zero far at 96).
+        first = zero = None
         for Wc in range(8, Wr_cap + 1, 8):
             q_try = starts(Wc)
             off = col_grp - q_try[chunk]
             frac_out = np.mean((off < 0) | (off >= Wc))
-            if frac_out <= 0.5 * far_frac_max:
-                Wr = Wc
+            if first is None and frac_out <= 0.5 * far_frac_max:
+                first = Wc
+            if frac_out == 0.0:
+                zero = Wc
                 break
-        if Wr is None:
+            if first is not None and Wc >= 2 * first:
+                break
+        if first is None and zero is None:
             Wr = -(-Wr_cap // 8) * 8
+        elif zero is not None and (first is None or zero <= 2 * first):
+            Wr = zero
+        else:
+            Wr = first
     else:
         Wr = Wr_f
     qc = starts(Wr)

@@ -609,7 +609,9 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v8"  # v8: ellw Wr_cap 128 (EMI fine operator needs Wr=96)
+_BUILD_VERSION = "v9"  # v9: build_ellw widens to a spill-free window
+# (zero far entries) when one exists within 2x the first-acceptable
+# width — flagship EMI fine level: Wr 72 + 117k far -> Wr 96 + 0 far
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
