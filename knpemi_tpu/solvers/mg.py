@@ -385,8 +385,14 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
                     )
             return near
 
-        # smallest ladder W capturing >= 85% of the remaining entries
-        W = best_W = None
+        # smallest ladder W capturing >= 85% of the remaining entries —
+        # but keep scanning (to <= 2x that width) for FULL coverage:
+        # every entry left out pays ~28 ns/apply as COO gather/scatter
+        # (e.g. 47k far at the flagship KNP level 1 = ~1.3 ms of a
+        # 2.5 ms apply), while a wider streamed slab costs only its
+        # extra bandwidth (same rationale as build_ellw's spill-free
+        # widening)
+        W = W85 = best_W = None
         best_near = -1
         for Wc in (128, 256, 512, 1024, 1536, 2048, 3072, 4096):
             if Wc > min(W_cap, m128) or NB * R * Wc * 4 > mem_left:
@@ -394,9 +400,16 @@ def _csr_to_banded(A: sp.csr_matrix, R: int = 256, W_cap: int = 4096,
             near = coverage(Wc)
             if near > best_near:
                 best_near, best_W = near, Wc
-            if near >= 0.85 * rem_nnz:
-                W = Wc
+            if W85 is None and near >= 0.85 * rem_nnz:
+                W85 = Wc
+            if near >= rem_nnz:
+                W = Wc if (W85 is None or Wc <= 2 * W85) else W85
                 break
+            if W85 is not None and Wc >= 2 * W85:
+                W = W85
+                break
+        if W is None:
+            W = W85
         if W is None:
             # a follow-up window pays for itself at lower coverage: it
             # replaces COO gather/scatter (~0.03 us/entry) with a cheap
@@ -609,9 +622,9 @@ class MGHierarchy:
 # cache-key version of the hierarchy builder: bump whenever
 # build_hierarchy's ALGORITHM changes so stale cached hierarchies are
 # never loaded (v2: isolated-row dropping)
-_BUILD_VERSION = "v9"  # v9: build_ellw widens to a spill-free window
+_BUILD_VERSION = "v10"  # v9: build_ellw widens to a spill-free window
 # (zero far entries) when one exists within 2x the first-acceptable
-# width — flagship EMI fine level: Wr 72 + 117k far -> Wr 96 + 0 far
+# width; v10 extends the same rule to _csr_to_banded window ladders
 
 
 def _cast_band_dtype(hier: "MGHierarchy", slab_dtype) -> "MGHierarchy":
