@@ -83,6 +83,28 @@ def _time_steps(sim, n_steps, warmup_steps: int = 1):
     return wall, state, ce, ck
 
 
+def _time_step_windows(sim, n_windows, steps_per_window, warmup_steps=1):
+    """Like _time_steps but timed in n_windows independently-synced
+    windows, so the headline mean carries a spread estimate (round-4
+    lesson: a single 3-5 step window showed 385-420 ms/step scatter
+    across repeats; the robust number needs >= ~20 timed steps).  The
+    per-window device sync costs one tunnel roundtrip each — keep
+    steps_per_window >= 5 so it stays <3% of the window."""
+    state = sim.init_state()
+    chunk = sim._chunk(1)
+    for _ in range(max(1, warmup_steps)):  # first call compiles
+        state, _ = chunk(state)
+    state.t.block_until_ready()
+    walls = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(steps_per_window):
+            state, (ce, ck, _ok) = chunk(state)
+        state.t.block_until_ready()
+        walls.append(time.perf_counter() - t0)
+    return walls, state, ce, ck
+
+
 def _make_idealized():
     case = os.environ.get("KNPEMI_BENCH_CASE", "3d")
     if case == "2d":
@@ -224,20 +246,36 @@ def _child_flagship():
     workload class BASELINE.md's 10x gate is defined on."""
     sim_fl, cfg = _build_flagship()
     dofs_fl = _dofs_per_step(sim_fl)
-    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "5"))
+    n_fl = int(os.environ.get("KNPEMI_BENCH_FLAGSHIP_STEPS", "20"))
+    win = max(1, min(5, n_fl))
+    n_win = max(1, n_fl // win)
+    n_fl = n_win * win
     # warm past the pulsed-source onset (delay 1 ms = 10 steps at dt
     # 0.1) so the timed window samples stimulated-regime solves, not
     # the resting first steps where KNP exits at 2 iterations
-    wall_fl, _, ie, ik = _time_steps(sim_fl, n_fl, warmup_steps=12)
+    walls, _, ie, ik = _time_step_windows(
+        sim_fl, n_win, win, warmup_steps=12
+    )
+    wall_fl = sum(walls)
     ms_step = wall_fl / n_fl * 1e3
+    per_win = [w / win * 1e3 for w in walls]
     return {
         "dofs": dofs_fl,
         "ms_per_step": round(ms_step, 1),
+        "n_timed": n_fl,
+        # spread across the independently-timed windows (min/max of the
+        # per-window ms/step): the robustness the headline mean carries
+        "ms_per_step_window_range": [round(min(per_win), 1),
+                                     round(max(per_win), 1)],
         "mdof_per_s": round(dofs_fl * n_fl / wall_fl / 1e6, 4),
         # wall seconds of compute per simulated millisecond
         "s_per_sim_ms": round(ms_step / 1e3 / float(cfg["dt"]), 3),
         "emi_iters": int(ie[-1]),
         "knp_iters": int(ik[-1]),
+        # solver options of THIS leg (the CPU-f64 leg runs parity
+        # options; disclose rather than imply identical tolerances)
+        "solver_opts": ("tuned" if os.environ.get(
+            "KNPEMI_BENCH_TUNED", "1") == "1" else "parity"),
     }
 
 
@@ -246,8 +284,14 @@ def _child_flagship_cpu_f64():
     flagship step at f64 on the host CPU (BASELINE.md defines the 10x
     gate on the 3-D astrocyte case; the real CPU-PETSc stack is not
     installable here, so the own-build CPU-f64 step is the stand-in —
-    same splitting scheme, same tolerances, f64 like PETSc).  Reuses the
-    content-keyed MG disk cache populated by the TPU flagship child."""
+    same splitting scheme, f64 like PETSc, at the PARITY solver options
+    (rtol_knp 1e-7 / rtol_emi 1e-6, min_iter 5, restart 30).  The TPU
+    flagship leg defaults to the certified tuned options — the two legs'
+    solver settings are disclosed in the emitted JSON (`solver_opts`),
+    so the vs_cpu_f64 ratio is hardware + certified tuning, not
+    tolerance-for-tolerance; set KNPEMI_BENCH_TUNED=0 for a
+    same-options ratio).  Reuses the content-keyed MG disk cache
+    populated by the TPU flagship child."""
     os.environ["KNPEMI_X64"] = "1"
     os.environ["KNPEMI_PALLAS"] = "0"
     os.environ["KNPEMI_BANDED"] = "0"
@@ -266,6 +310,7 @@ def _child_flagship_cpu_f64():
         "ms_per_step": round(wall_fl / n_fl * 1e3, 1),
         "emi_iters": int(ie[-1]),
         "knp_iters": int(ik[-1]),
+        "solver_opts": "parity",
     }
 
 
@@ -281,7 +326,7 @@ _CHILDREN = {
 # ------------------------------------------------------------------- parent
 
 
-def _run_child(name: str, timeout: int, attempts: int = 2):
+def _run_child(name: str, timeout: int, attempts: int = 2, remaining=None):
     """Run one case in a fresh process; return its parsed JSON tail line.
 
     stderr passes through (human-readable progress); stdout is captured
@@ -289,17 +334,25 @@ def _run_child(name: str, timeout: int, attempts: int = 2):
 
     The axon tunnel intermittently wedges a remote compile forever (the
     same child then succeeds on a clean retry — observed round 4); a
-    timed-out or crashed child is retried once with the same timeout.
+    timed-out or crashed child is retried once.  When a ``remaining``
+    callable (seconds of budget left) is given, every attempt's timeout
+    is re-clamped to it and a retry is skipped outright if too little
+    budget is left — one stage can no longer consume 2x its clamp.
     """
     last = None
     for a in range(attempts):
+        eff = timeout
+        if remaining is not None:
+            if remaining() < 90:
+                break
+            eff = max(60, min(timeout, remaining() - 30))
         try:
             r = subprocess.run(
                 [sys.executable, str(Path(__file__).resolve()),
                  "--child", name],
                 stdout=subprocess.PIPE,
                 text=True,
-                timeout=timeout,
+                timeout=eff,
             )
             if r.returncode != 0:
                 raise RuntimeError(f"child {name} exited {r.returncode}")
@@ -308,7 +361,9 @@ def _run_child(name: str, timeout: int, attempts: int = 2):
             last = e
             print(f"# child {name} attempt {a + 1} failed: {e}",
                   file=sys.stderr)
-    raise last
+    raise last if last is not None else TimeoutError(
+        f"child {name}: no budget left for an attempt"
+    )
 
 
 def main():
@@ -361,9 +416,7 @@ def main():
             emit()
             return None
         try:
-            result = _run_child(
-                child, timeout=max(60, min(timeout, remaining() - 30))
-            )
+            result = _run_child(child, timeout=timeout, remaining=remaining)
             out[key] = result
         except Exception as e:  # noqa: BLE001 — bench must still report
             out[key] = {"error": str(e)[:200]}
@@ -373,9 +426,7 @@ def main():
 
     dofs = None
     try:
-        core = _run_child(
-            "core", timeout=max(60, min(900, remaining() - 30))
-        )
+        core = _run_child("core", timeout=900, remaining=remaining)
         dofs = core.pop("_dofs")
         core.pop("_case", None)
         core.pop("_res", None)

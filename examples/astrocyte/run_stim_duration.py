@@ -35,7 +35,7 @@ from knpemi_tpu.sim import Simulation, SolverOptions
 from knpemi_tpu.sim.config import (
     load_config, source_box_indicator_q, pulsed_source_gate, DEFAULTS,
 )
-from knpemi_tpu.io import save_checkpoint, TimeSeriesWriter
+from knpemi_tpu.io import save_checkpoint, load_checkpoint, TimeSeriesWriter
 
 # Calibrated initial concentrations (run_stim_duration.py:232-242)
 K_E_INIT = 3.092970607490389
@@ -150,22 +150,72 @@ def build_simulation(config: dict, dtype=None):
     return sim
 
 
-def solve_system(config: dict, verbose: bool = True, outdir: str | None = None):
-    sim = build_simulation(config)
-    state = sim.init_state()
-    dt = sim.params.dt
-    n_steps = int(round(float(config["Tstop"]) / dt))
-    save_every = int(config.get("save_frequency", 5))
+_TRACE_KEYS = ("t", "phi_M_neuron", "phi_M_glial", "K_e_max", "K_e_min")
 
-    traces = {"t": [], "phi_M_neuron": [], "phi_M_glial": [],
-              "K_e_max": [], "K_e_min": []}
+
+def solve_system(config: dict, verbose: bool = True, outdir: str | None = None,
+                 resume: bool = False):
+    """Run (or ``resume=True``: continue) the scenario to ``Tstop``.
+
+    Crash recovery for multi-hour campaigns (no analog in the reference,
+    which writes per-step .bp output but cannot restart,
+    run_stim_duration.py:462-494 / SURVEY.md §5): every
+    ``checkpoint_every`` steps (config key; 0 disables) the COMPLETE
+    SimState plus the observer traces is written atomically to
+    ``<outdir>/<fname>/ckpt.npz``; ``--resume`` reloads it, refreshes the
+    kappa-lagged EMI hierarchy from the restored concentrations, reopens
+    the XDMF series truncated to the checkpointed snapshot count, and
+    continues to Tstop.
+    """
+    sim = build_simulation(config)
+    dt = sim.params.dt
+    n_steps_total = int(round(float(config["Tstop"]) / dt))
+    save_every = int(config.get("save_frequency", 5))
+    # full-field XDMF frames every `save_frequency_fields` observer calls
+    # (traces stay at save_frequency resolution; at flagship scale a frame
+    # is ~14 MB, so campaigns thin the frame rate, not the traces)
+    field_stride = max(1, int(config.get("save_frequency_fields", 1)))
+    ckpt_every = int(config.get("checkpoint_every", 0))
+
+    out = (Path(outdir) / str(config.get("fname", "astrocyte"))
+           if outdir else None)
+    ckpt_path = out / "ckpt.npz" if out else None
+
+    traces = {k: [] for k in _TRACE_KEYS}
+    n_saves = 0
+    if resume:
+        if ckpt_path is None or not ckpt_path.exists():
+            raise SystemExit(f"--resume: no checkpoint at {ckpt_path}")
+        state, meta = load_checkpoint(ckpt_path)
+        n_saves = int(meta["n_saves"])
+        for k in _TRACE_KEYS:
+            traces[k] = [float(v) for v in np.atleast_1d(meta[f"trace_{k}"])]
+        if not sim.opts.direct and getattr(sim.opts, "mg_refresh_every", 0):
+            # rebuild the kappa-lagged hierarchy values from the restored
+            # concentrations (same cadence semantics as mg_refresh_every;
+            # a run with refreshes disabled keeps the setup hierarchy so
+            # resumed and uninterrupted runs stay bit-identical)
+            sim.refresh_mg(state)
+        if verbose:
+            print(f"resumed from {ckpt_path}: step {int(state.step)}, "
+                  f"t = {float(state.t):.3f} ms, {n_saves} saves")
+    else:
+        state = sim.init_state()
+
+    n_steps = n_steps_total - int(state.step)
+    if n_steps <= 0:
+        print(f"nothing to do: checkpoint already at step {int(state.step)}"
+              f" >= {n_steps_total}")
+        return state, traces, np.array([]), np.array([])
+
     writers = {}
     if outdir:
-        out = Path(outdir) / str(config.get("fname", "astrocyte"))
+        n_frames = (n_saves + field_stride - 1) // field_stride
         for tag, sub in sim.geom.subdomains.items():
             writers[tag] = TimeSeriesWriter(
                 out / f"results_sub_{tag}.xdmf",
                 sub.coords, sub.cells,
+                resume_at=n_frames if resume else None,
             )
 
     def observer(s):
@@ -173,6 +223,7 @@ def solve_system(config: dict, verbose: bool = True, outdir: str | None = None):
         # per-field np.asarray costs a synchronous tunnel roundtrip each
         # (measured: 21 fields x 600 calls turned a 29 ms/step run into
         # 240 ms/step end-to-end)
+        nonlocal n_saves
         t_h, phi_h, c_h, phi_M_h = jax.device_get(
             (s.t, s.phi, s.c, s.phi_M)
         )
@@ -181,16 +232,37 @@ def solve_system(config: dict, verbose: bool = True, outdir: str | None = None):
         traces["phi_M_glial"].append(float(phi_M_h[2].mean()))
         traces["K_e_max"].append(float(c_h[0][0].max()))
         traces["K_e_min"].append(float(c_h[0][0].min()))
-        for tag, w in writers.items():
-            fields = {f"phi_{tag}": phi_h[tag]}
-            for k, ion in enumerate(sim.ions):
-                fields[f"c_{ion.name}_{tag}"] = c_h[tag][k]
-            w.write(float(t_h), fields)
+        if n_saves % field_stride == 0:
+            for tag, w in writers.items():
+                fields = {f"phi_{tag}": phi_h[tag]}
+                for k, ion in enumerate(sim.ions):
+                    fields[f"c_{ion.name}_{tag}"] = c_h[tag][k]
+                w.write(float(t_h), fields)
+        n_saves += 1
+
+    def write_ckpt(host_state):
+        if ckpt_path is None:
+            return
+        for w in writers.values():
+            w._flush()  # the h5 must contain every snapshot the meta claims
+        tmp = ckpt_path.with_name("ckpt_tmp.npz")
+        save_checkpoint(
+            tmp, host_state, n_saves=n_saves,
+            **{f"trace_{k}": np.asarray(v) for k, v in traces.items()},
+        )
+        import os as _os
+        if ckpt_path.exists():  # keep one rotation against corruption
+            _os.replace(ckpt_path, ckpt_path.with_name("ckpt_prev.npz"))
+        _os.replace(tmp, ckpt_path)
+        if verbose:
+            print(f"  checkpoint @ step {int(host_state.step)} "
+                  f"(t = {float(host_state.t):.1f} ms) -> {ckpt_path}")
 
     t0 = time.perf_counter()
     state, it_emi, it_knp = sim.run(
         state, n_steps, save_every=save_every, observer=observer,
         verbose=verbose,
+        checkpoint_every=ckpt_every, checkpoint_cb=write_ckpt,
     )
     wall = time.perf_counter() - t0
     if verbose:
@@ -198,11 +270,13 @@ def solve_system(config: dict, verbose: bool = True, outdir: str | None = None):
             f"{n_steps} steps in {wall:.1f}s ({wall / n_steps * 1e3:.1f} "
             f"ms/step); avg it emi {it_emi.mean():.1f} knp {it_knp.mean():.1f}"
         )
+    if outdir:
+        host_state = jax.device_get(state)
+        write_ckpt(host_state)  # a completed run's ckpt resumes to a no-op
     for w in writers.values():
         w.close()
     if outdir:
-        out = Path(outdir) / str(config.get("fname", "astrocyte"))
-        save_checkpoint(out / "final_state.npz", state)
+        save_checkpoint(out / "final_state.npz", host_state)
         np.savez(out / "traces.npz", **{k: np.asarray(v) for k, v in traces.items()})
     return state, traces, it_emi, it_knp
 
@@ -214,6 +288,8 @@ if __name__ == "__main__":
     parser.add_argument("--outdir", default="results")
     parser.add_argument("--Tstop", type=float, default=None,
                         help="override the config's Tstop (ms)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from <outdir>/<fname>/ckpt.npz")
     args = parser.parse_args()
     cfg_path = Path(args.c)
     if not cfg_path.exists():
@@ -221,4 +297,4 @@ if __name__ == "__main__":
     config = load_config(cfg_path)
     if args.Tstop is not None:
         config["Tstop"] = args.Tstop
-    solve_system(config, outdir=args.outdir)
+    solve_system(config, outdir=args.outdir, resume=args.resume)

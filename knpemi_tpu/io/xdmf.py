@@ -176,8 +176,17 @@ def read_mesh(path: str, cell_tag_name="cell_marker",
     if cell_tags.max(initial=0) == 0 and cvals0 is not None:
         # the mesh grid carries its own cell attribute under a name
         # other than cell_tag_name (e.g. emimesh writes "mesh"): better
-        # the present tags than silently-zero ones
-        cell_tags = np.asarray(cvals0, np.int32)
+        # the present tags than silently-zero ones — but only adopt
+        # integer-typed data (a float quality/partition field is NOT a
+        # tag array), and say which attribute was adopted
+        if np.issubdtype(np.asarray(cvals0).dtype, np.integer):
+            from ..utils.logging import warn
+
+            warn(
+                f"no '{cell_tag_name}' attribute; adopting the mesh "
+                f"grid's integer cell attribute as subdomain tags"
+            )
+            cell_tags = np.asarray(cvals0, np.int32)
 
     if tt0 == "hexahedron":
         # reference idealized 3-D meshes are dolfinx box hexes
@@ -227,7 +236,12 @@ class TimeSeriesWriter:
     per-subdomain XDMFFile + write_function, run_2D.py:40-77)."""
 
     def __init__(self, path: str, points: np.ndarray, cells: np.ndarray,
-                 flush_every: int = 64):
+                 flush_every: int = 64, resume_at: int | None = None):
+        """``resume_at=k`` reopens an existing series in append mode and
+        truncates it to its first ``k`` snapshots (snapshots at index >= k
+        are discarded — they postdate the checkpoint a crashed run is being
+        resumed from).  The reference has no resume at all (SURVEY.md §5);
+        this supports driver-level ``--resume`` on multi-hour campaigns."""
         import h5py
 
         self.path = str(path)
@@ -235,15 +249,43 @@ class TimeSeriesWriter:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         self.points = np.asarray(points)
         self.cells = np.asarray(cells)
-        self.h5 = h5py.File(self.h5path, "w")
-        self.h5["/Mesh/geometry"] = self.points
-        self.h5["/Mesh/topology"] = self.cells.astype(np.int64)
         self.steps = []  # (time, {name: dset})
+        if resume_at is not None and os.path.exists(self.h5path):
+            self.h5 = h5py.File(self.h5path, "a")
+            self._truncate_to(int(resume_at))
+        else:
+            self.h5 = h5py.File(self.h5path, "w")
+            self.h5["/Mesh/geometry"] = self.points
+            self.h5["/Mesh/topology"] = self.cells.astype(np.int64)
         # RAM-buffered writes: per-call h5 dataset creation costs ~ms of
         # HDF5 metadata work per field (measured ~23 ms/step on the
         # flagship's 21 fields); buffer and flush in batches instead
         self._pending = []  # (index, time, {name: array})
         self._flush_every = int(flush_every)
+
+    def _truncate_to(self, keep: int):
+        """Rebuild ``self.steps`` from the first ``keep`` flushed snapshots
+        of an existing h5 file and delete everything after them."""
+        times = self.h5.get("Time")
+        have = 0
+        if times is not None:  # contiguous flushed prefix
+            while str(have) in times:
+                have += 1
+        keep = min(keep, have)
+        names = list(self.h5["Function"].keys()) if "Function" in self.h5 else []
+        for i in range(keep):
+            entry = {
+                name: f"/Function/{name}/{i}" for name in names
+                if str(i) in self.h5[f"/Function/{name}"]
+            }
+            self.steps.append((float(self.h5[f"/Time/{i}"][()]), entry))
+        # drop any post-checkpoint snapshots
+        for i in range(keep, max(have, keep)):
+            del self.h5[f"/Time/{i}"]
+        for name in names:
+            grp = self.h5[f"/Function/{name}"]
+            for idx in [k for k in grp.keys() if int(k) >= keep]:
+                del grp[idx]
 
     def write(self, t: float, fields: Dict[str, np.ndarray]):
         i = len(self.steps)
@@ -259,7 +301,11 @@ class TimeSeriesWriter:
         for i, fields in self._pending:
             for name, arr in fields.items():
                 self.h5[f"/Function/{name}/{i}"] = arr
+            # per-snapshot time in the h5 itself (the XML index is only
+            # written at close): lets a crashed run's series be reopened
+            self.h5[f"/Time/{i}"] = self.steps[i][0]
         self._pending = []
+        self.h5.flush()
 
     def close(self):
         self._flush()

@@ -224,6 +224,14 @@ def _shard_band(band, Bd: int, Bc: int, n_dev: int, dtype):
     # 3-D hierarchy).  Store one replicated cols array of ALL far
     # entries; rows/vals are per-device copies masked to the device's
     # own rows (foreign entries: val 0 adding at row 0 — harmless).
+    #
+    # COST BOUND: rows/vals are (n_dev, f_max) and every apply psums an
+    # f_max-length gather, so memory and collective volume scale
+    # O(n_dev * f_max) — fine while spill-free window widening keeps
+    # f_max ~0 (solvers/mg.py::build_ellw; the flagship hierarchy's far
+    # sets are all zero since round 4).  If large far sets reappear,
+    # restore O(f_max) aggregate cost by keeping per-device cols over a
+    # replicated union-of-cols index, or ppermute owner-segments.
     f_max = len(fr)
     frl = np.zeros((n_dev, max(f_max, 1)), np.int32)
     fvl = np.zeros((n_dev, max(f_max, 1)), np.float64)

@@ -665,10 +665,19 @@ class Simulation:
         save_every: Optional[int] = None,
         observer: Optional[Callable[[SimState], None]] = None,
         verbose: bool = False,
+        checkpoint_every: int = 0,
+        checkpoint_cb: Optional[Callable[[SimState], None]] = None,
     ):
         """Advance n_steps; call ``observer(state)`` every ``save_every``
         steps (and once at the end).  Returns (state, emi_iters[], knp_iters[]).
+
+        ``checkpoint_cb(host_state)`` is invoked every ``checkpoint_every``
+        steps (aligned to chunk boundaries on the device path) with the
+        device-fetched state pytree, for driver-level crash recovery — the
+        reference writes per-step .bp output but has no restartable
+        checkpoint at all (SURVEY.md §5).
         """
+        ckpt_on = bool(checkpoint_cb) and checkpoint_every > 0
         if self.opts.direct:
             # host LU path: plain python loop (tests/small runs only)
             it_e, it_k = [], []
@@ -678,12 +687,15 @@ class Simulation:
                 it_k.append(int(state.knp_iters))
                 if observer and save_every and (k + 1) % save_every == 0:
                     observer(state)
+                if ckpt_on and (k + 1) % checkpoint_every == 0 and k + 1 < n_steps:
+                    checkpoint_cb(jax.device_get(state))
             return state, np.array(it_e), np.array(it_k)
 
         chunk_n = save_every or n_steps
         chunk = self._chunk(chunk_n)
         it_e, it_k = [], []
         done = 0
+        last_ckpt = 0
         self._last_refresh = 0
         while done < n_steps:
             n = min(chunk_n, n_steps - done)
@@ -717,6 +729,12 @@ class Simulation:
             self._maybe_refresh(state, host_state, done, n_steps)
             if observer:
                 observer(host_state)
+            if ckpt_on and done < n_steps and done - last_ckpt >= checkpoint_every:
+                checkpoint_cb(
+                    host_state if host_state is not None
+                    else jax.device_get(state)
+                )
+                last_ckpt = done
         self._harvest_refresh(block=False)
         return state, np.concatenate(it_e), np.concatenate(it_k)
 

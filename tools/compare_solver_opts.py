@@ -98,13 +98,18 @@ def main():
     sim = build_simulation(cfg)
     print(f"# built: {sim.geom.emi_size} EMI dofs, "
           f"setup {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    # the PARITY leg restores whatever the Simulation was BUILT with
+    # (if the config ever sets non-default rtols, hardcoded 1e-7/1e-6
+    # would silently diverge from the configured baseline)
+    rtol_knp0 = float(sim.knp_solver.rtol)
+    rtol_emi0 = float(sim.emi_solver.rtol)
 
     def one_run(min_iter: int, restart: int, rtol=None, post_smooth=True,
                 rtol_emi=None):
         sim.knp_solver.min_iter = min_iter
         sim.knp_solver.restart = restart
-        sim.knp_solver.rtol = rtol if rtol is not None else 1e-7
-        sim.emi_solver.rtol = rtol_emi if rtol_emi is not None else 1e-6
+        sim.knp_solver.rtol = rtol if rtol is not None else rtol_knp0
+        sim.emi_solver.rtol = rtol_emi if rtol_emi is not None else rtol_emi0
         for mg_t in (sim.knp_solver.mg or {}).values():
             # static pytree aux: flipping retraces the chunk (caches are
             # cleared below anyway)
