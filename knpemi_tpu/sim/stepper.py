@@ -48,13 +48,8 @@ class SolverOptions:
     restart: int = 30
     # minimum KNP GMRES iterations before the convergence test may stop
     # the solve.  5 is PETSc ksp_min_it parity (reference
-    # pdeSolver.py:100) — a guard against trusting the recurrence
-    # residual too early.  On the f32 TPU path the guard is measurably
-    # dead weight: at the 840k-dof flagship the TRUE relative residual
-    # saturates at its f32 attainable floor (~2e-6) by iteration 2 and
-    # is bit-comparable at min_iter 0 vs 5 (tools/profile_knp.py
-    # --bisect-tag0), while each forced iteration costs ~52 ms.
-    # Performance-tuned drivers set 2; the default stays at parity.
+    # pdeSolver.py:100); performance-tuned drivers set 2 (certified —
+    # see RESULTS.md "KNP solver-option campaigns").
     min_iter_knp: int = 5
     # KNP V-cycle post-smoothing.  False gives the asymmetric V(1,0)
     # cycle — legal as a flexible-GMRES preconditioner (the KNP solve
@@ -86,12 +81,9 @@ class SolverOptions:
     # the f32-vs-f64 dot-product gap on TPU at ~6 VPU flops/element
     # (solvers/precision.py).  None -> auto: on for f32 runs.
     compensated_dots: Optional[bool] = None
-    # SA strength threshold.  0.04, not the textbook 0.25/0.08: on the
-    # flagship tissue operator (3 subdomains, tortuosity-contrasted
-    # kappa, two membranes) theta=0.08 drops coarse-level connections
-    # that matter — EMI CG grows 12/17/21 iterations at n=24/40/56 —
-    # while 0.04 keeps the count mesh-independent at 10 and is neutral
-    # on the idealized boxes (tools/tune_flagship_mg.py sweep).
+    # SA strength threshold.  0.04, not the textbook 0.25/0.08: larger
+    # thetas lose mesh-independence on the tortuosity-contrasted tissue
+    # operator (measured sweep: RESULTS.md "Flagship EMI iterations").
     mg_theta: float = 0.04
     mg_coarse_max: int = 800
     mg_nu: int = 1

@@ -54,12 +54,31 @@ def _run_leg(dtype: str, tstop: float, out: Path, res_n: int | None):
         cfg["mesh_n"] = res_n
     sim = build_simulation(
         cfg, dtype=jnp.float64 if dtype == "f64" else jnp.float32)
-    state = sim.init_state()
     n_steps = int(round(tstop / sim.params.dt))
     save_every = int(cfg.get("save_frequency", 5))
 
     traces = {"t": [], "phi_M_neuron": [], "phi_M_glial": [],
               "K_e_max": [], "phi_e_norm": []}
+    it_prev = (np.zeros(0, int), np.zeros(0, int))
+
+    # crash-resumable legs (the round-4 100-step TPU campaign died twice
+    # to worker crashes): checkpoint every 100 steps (10 ms) and pick up
+    # from <out>.ckpt.npz automatically on rerun
+    from knpemi_tpu.io import save_checkpoint, load_checkpoint
+
+    ckpt = out.with_name(out.name + ".ckpt.npz")
+    if ckpt.exists():
+        state, meta = load_checkpoint(ckpt)
+        for k in traces:
+            traces[k] = [float(v) for v in np.atleast_1d(meta[f"trace_{k}"])]
+        it_prev = (np.atleast_1d(meta["it_emi"]).astype(int),
+                   np.atleast_1d(meta["it_knp"]).astype(int))
+        if getattr(sim.opts, "mg_refresh_every", 0) and not sim.opts.direct:
+            sim.refresh_mg(state)
+        print(f"# {dtype}: resumed at step {int(state.step)}",
+              file=sys.stderr)
+    else:
+        state = sim.init_state()
 
     def observer(s):
         traces["t"].append(float(s.t))
@@ -68,10 +87,28 @@ def _run_leg(dtype: str, tstop: float, out: Path, res_n: int | None):
         traces["K_e_max"].append(float(np.max(s.c[0][0])))
         traces["phi_e_norm"].append(float(np.linalg.norm(s.phi[0])))
 
+    def write_ckpt(host_state, it_e=None, it_k=None):
+        tmp = ckpt.with_name(ckpt.name + ".tmp.npz")
+        save_checkpoint(
+            tmp, host_state,
+            it_emi=np.concatenate([it_prev[0]] + ([it_e] if it_e is not None else [])),
+            it_knp=np.concatenate([it_prev[1]] + ([it_k] if it_k is not None else [])),
+            **{f"trace_{k}": np.asarray(v) for k, v in traces.items()},
+        )
+        os.replace(tmp, ckpt)
+
+    n_rem = n_steps - int(state.step)
     t0 = time.perf_counter()
-    state, it_e, it_k = sim.run(state, n_steps, save_every=save_every,
-                                observer=observer)
+    if n_rem > 0:
+        state, it_e, it_k = sim.run(state, n_rem,
+                                    save_every=save_every, observer=observer,
+                                    checkpoint_every=100,
+                                    checkpoint_cb=write_ckpt)
+    else:
+        it_e = it_k = np.zeros(0, int)
     wall = time.perf_counter() - t0
+    it_e = np.concatenate([it_prev[0], np.asarray(it_e, int)])
+    it_k = np.concatenate([it_prev[1], np.asarray(it_k, int)])
     import jax as _jax
 
     final = _jax.device_get(

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--case", default="3d")
     ap.add_argument("--res", type=int, default=2)
     ap.add_argument("--system", default="emi")
+    ap.add_argument("--bw", type=float, default=None,
+                    help="HBM bandwidth GB/s for the roofline (default: "
+                         "819 for TPU v5e, 60 for CPU)")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +114,46 @@ def main():
               f"ap={'band' if lv.get('ap_band') is not None else ('ellw' if lv.get('ap_ellw') is not None else 'none')} "
               f"fused_post={mg._fused_post(i, lv, len(lv['steps']))}")
 
+    # ---- HBM roofline model (VERDICT r4 item 2): every apply is a
+    # streaming op, so its floor is bytes-touched / HBM bandwidth.
+    # Bytes are taken from the ACTUAL device arrays (so bf16 slabs,
+    # window widths, far caps are all reflected), plus the in/out
+    # vectors.  Measured/floor >> 1 = scheduling or layout waste, not
+    # physics.
+    bw = args.bw or (819.0 if jax.devices()[0].platform in ("tpu", "axon")
+                     else 60.0)
+    dsz = jnp.dtype(sim.dtype).itemsize
+
+    def mat_bytes(lv, which):
+        """device bytes of the operator arrays read by one apply."""
+        b = 0
+        band = lv.get(f"{which}_band")
+        if band is not None:
+            for w in band["windows"]:
+                b += w["slabT"].nbytes + w["w0"].nbytes
+            far = band.get("far_vals")
+            if far is not None and far.size:
+                b += 3 * far.nbytes
+        ellw = lv.get(f"{which}_ellw")
+        if ellw is not None:
+            # shape-derived (ELLW.nbytes would np.asarray = download
+            # the slabs over the tunnel)
+            b += sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in (getattr(ellw, f) for f in type(ellw)._ARRAYS)
+            )
+        if band is None and ellw is None and lv.get(f"{which}_vals") is not None:
+            b += lv[f"{which}_vals"].nbytes + lv[f"{which}_cols"].nbytes
+        return b
+
+    def floor_ms(nbytes):
+        return nbytes / (bw * 1e9) * 1e3
+
+    print(f"roofline bandwidth: {bw:.0f} GB/s "
+          f"(--bw to override); floors = array-bytes/BW", flush=True)
+
     x = r0
+    cycle_floor = 0.0
     for i, lv in enumerate(mg.levels):
         if lv.get("a_band") is not None:
             kind = "band"
@@ -138,7 +180,10 @@ def main():
                   for w in b["windows"]]
             nnz_far = len(b.get("far_vals", []))
             extra = f" slabs={ws} far={nnz_far}"
-        print(f"level {i}: n={n_i:8d} A({kind}) : {t_op:8.3f} ms{extra}",
+        fl_a = floor_ms(mat_bytes(lv, "a") + 2 * n_i * dsz)
+        print(f"level {i}: n={n_i:8d} A({kind}) : {t_op:8.3f} ms"
+              f"  [floor {fl_a:6.3f} ms, {t_op / max(fl_a, 1e-9):5.1f}x]"
+              f"{extra}",
               flush=True)
         # transfers (shape-changing: time with fixed input, dispatch incl.)
         rc = mg._transfer(lv, "pt", x)
@@ -156,14 +201,33 @@ def main():
         t_pt = tm(lambda v, m, i=i: m._transfer(m.levels[i], "pt", v), x)
         t_p = tm(lambda v, m, i=i: m._transfer(m.levels[i], "p", v), rc)
         pk = "band" if lv.get("pt_band") is not None else "ell"
-        print(f"         pt({pk}): {t_pt:8.3f} ms (dispatch incl.)   "
-              f"p({pk}): {t_p:8.3f} ms", flush=True)
+        vec_b = (len(x) + len(rc)) * dsz
+        fl_pt = floor_ms(mat_bytes(lv, "pt") + vec_b)
+        fl_p = floor_ms(mat_bytes(lv, "p") + vec_b)
+        print(f"         pt({pk}): {t_pt:8.3f} ms (dispatch incl.) "
+              f"[floor {fl_pt:6.3f}]   "
+              f"p({pk}): {t_p:8.3f} ms [floor {fl_p:6.3f}]", flush=True)
+        # structural V-cycle floor contribution of this level: nu
+        # pre-smooth A applies + 1 residual apply + nu post-smooth
+        # applies (AP bytes when the fused-AP post is installed) + both
+        # transfers + 3 n-vector dinv/axpy sweeps
+        ap_b = mat_bytes(lv, "ap") or mat_bytes(lv, "a")
+        cycle_floor += floor_ms(
+            mg.nu * (mat_bytes(lv, "a") + 2 * n_i * dsz)
+            + (mat_bytes(lv, "a") + 2 * n_i * dsz)
+            + mg.nu * (ap_b + 2 * n_i * dsz)
+            + mat_bytes(lv, "pt") + mat_bytes(lv, "p") + 2 * vec_b
+            + 3 * n_i * dsz
+        )
         x = rc
     t_coarse = loop_timeit(
         lambda v, V, il: V @ (il * (V.T @ v)), x, mg.coarse_V,
         mg.coarse_ilam, K=20,
     )
-    print(f"coarse dense     : {t_coarse:8.3f} ms  (n={len(x)})", flush=True)
+    fl_c = floor_ms(2 * mg.coarse_V.nbytes + 2 * len(x) * dsz)
+    cycle_floor += fl_c
+    print(f"coarse dense     : {t_coarse:8.3f} ms  (n={len(x)}) "
+          f"[floor {fl_c:6.3f}]", flush=True)
 
     # ---- attribution: sub-cycle costs + perm gathers (single + B=2) ----
     if mg.perm is not None:
@@ -191,7 +255,9 @@ def main():
               f"{t_subb:8.3f} ms B=2", flush=True)
         rc_i = mg._transfer(mg.levels[i], "pt", rc_i)
     t_all = loop_timeit(lambda v, m: m.apply(A0, v), r0, mg, K=10)
-    print(f"FULL V-cycle     : {t_all:8.3f} ms/op", flush=True)
+    print(f"FULL V-cycle     : {t_all:8.3f} ms/op   "
+          f"[structural HBM floor {cycle_floor:6.3f} ms, "
+          f"{t_all / max(cycle_floor, 1e-9):4.1f}x off roofline]", flush=True)
     t_b = loop_timeit(
         lambda V, m: m.apply_batch(lambda Y: Y, V),
         jnp.stack([r0, r0 * 0.5]), mg, K=10,
