@@ -1122,7 +1122,7 @@ def _csr_fill_banded(A: sp.csr_matrix, band):
 
 
 def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
-                      max_drop_frac: float = 1e-6) -> MGHierarchy:
+                      max_drop_frac: float = 1e-5) -> MGHierarchy:
     """Value-refresh of a lagged hierarchy for the CURRENT operator,
     keeping every array shape fixed so the refreshed DeviceMG can be
     swapped into a compiled step without recompilation (DeviceMG travels
@@ -1142,7 +1142,15 @@ def refresh_hierarchy(hier: MGHierarchy, A_hat_new: sp.csr_matrix,
     ValueError when the refill would discard more than ``max_drop_frac``
     of a level's total |A| mass, or on a level-size mismatch — genuine
     structural drift; the caller should fall back to a full
-    build_hierarchy + recompile (sim/stepper.py warns and keeps the
+    build_hierarchy + recompile.  The default tolerates 1e-5: the 300 ms
+    flagship campaign measured 3.66e-6 drift at its K_e excursion peak
+    (f32-rounding entry migration, smoother-level only), and a 1e-6
+    guard refused every one of its 14 in-run refreshes — harmless there
+    (staleness is measured neutral, RESULTS.md "MG staleness stress")
+    but it silently turns mg_refresh_every into dead work.  A drop of
+    1e-5 of |A| mass perturbs only the SMOOTHER + coarse correction (the
+    Krylov solve uses the exact fine operator), far below the V-cycle's
+    own approximation error.  (sim/stepper.py warns and keeps the
     stale hierarchy).
     """
     A = A_hat_new.tocsr()
