@@ -31,12 +31,12 @@ def parse_log(path: Path):
         m = pat.search(line)
         if m:
             a, b, ms, ie, ik = (float(g) for g in m.groups())
-            rows.append((b + off, ms, ie, ik))
+            rows.append((b + off, ms, ie, ik, b - a + 1))
         # a resumed leg restarts its local step numbering at 1
         m2 = re.search(r"resumed from .*step (\d+)", line)
         if m2:
             off = int(m2.group(1))
-    return np.asarray(rows) if rows else np.zeros((0, 4))
+    return np.asarray(rows) if rows else np.zeros((0, 5))
 
 
 def main():
@@ -98,9 +98,13 @@ def main():
             out["stimulated_phase"] = phase(stim)
             if (~stim).any():
                 out["relaxation_phase"] = phase(~stim)
-            steps_per_chunk = np.diff(np.concatenate([[0], rows[:, 0]]))
+            # chunk step counts come from each log line itself (a crash
+            # + resume makes consecutive step numbers overlap, so a
+            # diff across rows would go negative at the seam); this
+            # counts ALL stepped time including the re-done post-crash
+            # steps
             out["wall_min_stepping"] = round(
-                float((rows[:, 1] * steps_per_chunk).sum() / 6e4), 1)
+                float((rows[:, 1] * rows[:, 4]).sum() / 6e4), 1)
     print(json.dumps(out, indent=1))
 
 
