@@ -30,10 +30,11 @@ ops/pallas_assembly.py, windowed per row-chunk:
   remainder applied by XLA scatter-add (zero-padded so refreshed
   hierarchies keep the compiled step's shapes).
 
-Exactness: gathers split the f32 operand into three bf16 passes
-(3 x 8 mantissa bits cover the f32 significand) against the EXACT
-one-hot factor, so the result is the f32 gather bit-for-bit; values
-multiply on the VPU in f32.
+Exactness: gathers split the f32 operand into bf16 passes against the
+EXACT one-hot factor — 3 passes (3 x 8 mantissa bits) reproduce the
+f32 gather bit-for-bit; the TPU production default is the certified
+2-pass fast path (see _ELLW_PASSES below); values multiply on the VPU
+in f32.
 
 Used by solvers/mg.py for transfers and lagged level operators whose
 banded slab would exceed the fast-slab budget.  Cite: reference
@@ -43,6 +44,7 @@ pdeSolver.py:24-38 (hypre BoomerAMG preconditioner application).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -57,6 +59,47 @@ from .pallas_assembly import (
     _lane_sum,
     _lane_tile,
 )
+
+# Pass count of the bf16-split one-hot products (KNPEMI_ELLW_PASSES).
+# 3 reproduces the f32 significand exactly; 2 truncates the VECTOR
+# operand to 16 mantissa bits (~7.6e-6 relative input noise) for a 1/3
+# cut in the tile-issue-bound MXU work.  Every ellw consumer is a
+# preconditioner operator (lagged smoother ops, AP, P/Pt), so solutions
+# are unaffected either way — only Krylov iteration counts could move,
+# and they do not: measured on the 840k-dof flagship (RESULTS round 5),
+# 2-pass runs 679.8 vs 764.6 ms/step (-11.1%) at IDENTICAL stimulated
+# iteration counts (EMI 9 / KNP 7), with 100-step field equivalence at
+# the f32-ULP level (max |dphi_M| 6.9e-5 mV, final rel L2 ~1e-6).
+# Default: 2 on TPU (the certified fast path), 3 elsewhere (the tests'
+# exactness contract); env overrides both.
+_ELLW_PASSES = os.environ.get("KNPEMI_ELLW_PASSES")
+
+
+def _passes() -> int:
+    global _ELLW_PASSES
+    if _ELLW_PASSES is None:
+        _ELLW_PASSES = (
+            2 if jax.devices()[0].platform in ("tpu", "axon") else 3
+        )
+    return int(_ELLW_PASSES)
+
+
+def _splitN(v):
+    return _split3_bf16(v)[:_passes()]
+
+
+def _dotN(a, b, dims, out_dtype):
+    if _passes() >= 3:
+        return _dot3(a, b, dims, out_dtype)
+    d = lambda p: jax.lax.dot_general(
+        p, b, (dims, ((), ())), preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    parts = _splitN(a)
+    out = d(parts[0])
+    for p in parts[1:]:
+        out = out + d(p)
+    return out
 
 
 @dataclasses.dataclass
@@ -293,7 +336,7 @@ def _make_gather_kernel(C: int, K: int, Wr: int):
         vals = v_ref[0]
         E_hi, E_lo = _onehot_w(li, Wr)
         # gather: R[s, kc] = sum_g x2[g, s] E_hi[g, kc]  (f32-exact)
-        R = _dot3(x2, E_hi, ((0,), (0,)), jnp.float32)   # (128, KC)
+        R = _dotN(x2, E_hi, ((0,), (0,)), jnp.float32)   # (128, KC)
         xe = jnp.sum(jnp.where(E_lo, R, 0.0), axis=0, keepdims=True)
         ye = xe * vals
         out_ref[0] = _lane_sum(ye, K, C)   # (1, C)
@@ -316,7 +359,7 @@ def _make_scatter_kernel(C: int, K: int, Wr: int):
         E_hi, E_lo = _onehot_w(li, Wr)
         lo_b = E_lo.astype(jnp.bfloat16)
         acc = None
-        for part in _split3_bf16(ye):
+        for part in _splitN(ye):
             V = lo_b * part                 # (128, KC) bf16, exact terms
             # y2[g, s] = sum_kc E_hi[g, kc] V[s, kc]
             y2 = jax.lax.dot_general(
@@ -440,7 +483,7 @@ def _make_gather_kernel_batch(B: int, C: int, K: int, Wr: int):
         rows = []
         for b in range(B):
             x2 = x_ref[b, pl.ds(q, Wr), :]  # (Wr, 128)
-            R = _dot3(x2, E_hi, ((0,), (0,)), jnp.float32)
+            R = _dotN(x2, E_hi, ((0,), (0,)), jnp.float32)
             xe = jnp.sum(jnp.where(E_lo, R, 0.0), axis=0, keepdims=True)
             rows.append(_lane_sum(xe * vals, K, C))
         out_ref[0] = jnp.concatenate(rows, axis=0)  # (B, C)
@@ -465,7 +508,7 @@ def _make_scatter_kernel_batch(B: int, C: int, K: int, Wr: int):
             re = r_ref[0, b : b + 1]        # (1, C)
             ye = _lane_tile(re, K) * vals
             acc = None
-            for part in _split3_bf16(ye):
+            for part in _splitN(ye):
                 V = lo_b * part
                 y2 = jax.lax.dot_general(
                     E_hi, V, (((1,), (1,)), ((), ())),

@@ -186,3 +186,25 @@ def test_refresh_refills_ellw(monkeypatch):
     np.testing.assert_allclose(e2.vals, 1.5 * e1.vals, rtol=1e-12)
     # transfers frozen
     assert h2.levels[0].p_ellw is h.levels[0].p_ellw
+
+
+def test_ellw_two_pass_near_exact(monkeypatch):
+    """KNPEMI_ELLW_PASSES=2 truncates the vector operand to 16 mantissa
+    bits inside the one-hot products (preconditioner-only fast path,
+    certified on the flagship — RESULTS round 5): the result must stay
+    within the 2^-17 relative envelope of the exact product."""
+    monkeypatch.setattr(PE, "_ELLW_PASSES", 2)
+    A = _banded_random(1500, 1500, 7, 45, seed=9)
+    e = PE.build_ellw(A)
+    assert e is not None
+    x = np.random.default_rng(3).standard_normal(1500)
+    y2 = np.asarray(PE.ellw_matvec(
+        e.device(jnp.float32), jnp.asarray(x, jnp.float32), interpret=True))
+    ref = A @ x
+    rel = np.abs(y2 - ref).max() / np.abs(ref).max()
+    assert rel < 3e-5, rel
+    # and the batch form agrees with the single form's arithmetic class
+    Y = np.asarray(PE.ellw_matvec_batch(
+        e.device(jnp.float32),
+        jnp.asarray(np.stack([x, 0.5 * x]), jnp.float32), interpret=True))
+    assert np.abs(Y[0] - ref).max() / np.abs(ref).max() < 3e-5
