@@ -345,7 +345,13 @@ def _run_child(name: str, timeout: int, attempts: int = 2, remaining=None):
         if remaining is not None:
             if remaining() < 90:
                 break
-            eff = max(60, min(timeout, remaining() - 30))
+            # split what's left over the attempts still available, so a
+            # WEDGED first attempt (the tunnel failure mode: a child
+            # blocked in remote compile forever) cannot starve its own
+            # retry — observed round 5: the wedge hits first attempts
+            # reliably and the clean retry then finishes in ~400 s
+            share = (remaining() - 30) / (attempts - a)
+            eff = max(60, min(timeout, share))
         try:
             r = subprocess.run(
                 [sys.executable, str(Path(__file__).resolve()),
@@ -368,12 +374,30 @@ def _run_child(name: str, timeout: int, attempts: int = 2, remaining=None):
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        # persistent XLA compilation cache: a kernel edit invalidates
+        # every executable, and the fresh Mosaic compile of the res-2 /
+        # flagship chunks can exceed a child's 900 s clamp (observed:
+        # first attempt times out, the retry rides the partial cache).
+        # Harmless where the backend ignores it.
+        os.environ.setdefault(
+            "JAX_COMPILATION_CACHE_DIR", str(_HERE / ".jax_cache")
+        )
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ["JAX_COMPILATION_CACHE_DIR"],
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
         if os.environ.get("KNPEMI_PLATFORM"):
             # e.g. KNPEMI_PLATFORM=cpu for a smoke run while the TPU is
             # busy (the JAX_PLATFORMS env var alone is ignored once the
             # axon plugin registers)
-            import jax
-
             jax.config.update("jax_platforms", os.environ["KNPEMI_PLATFORM"])
         print(json.dumps(_CHILDREN[sys.argv[2]]()))
         return
@@ -453,18 +477,11 @@ def main():
             )
             emit()
 
-    stage(
-        "big_case",
-        "big",
-        min_budget=300,
-        timeout=big_timeout,
-        run_if=(
-            case == "3d"
-            and res == 1
-            and os.environ.get("KNPEMI_BENCH_BIG", "1") == "1"
-        ),
-    )
-
+    # flagship BEFORE the big case: the flagship is the headline leg
+    # (BASELINE.md's 10x gate is defined on it) — when fresh compiles
+    # after a kernel edit eat the budget, the secondary res-2 case is
+    # the one that gets skipped (round-5 lesson: a timed-out big
+    # attempt starved the flagship of budget)
     fl = stage(
         "flagship",
         "flagship",
@@ -497,6 +514,18 @@ def main():
                 file=sys.stderr,
             )
             emit()
+
+    stage(
+        "big_case",
+        "big",
+        min_budget=300,
+        timeout=big_timeout,
+        run_if=(
+            case == "3d"
+            and res == 1
+            and os.environ.get("KNPEMI_BENCH_BIG", "1") == "1"
+        ),
+    )
 
     out.pop("_dofs", None)
     emit()
