@@ -518,7 +518,10 @@ def main():
     stage(
         "big_case",
         "big",
-        min_budget=300,
+        # realistic cost of the res-2 child is ~420 s clean and up to
+        # ~900 with one wedged attempt: skip CLEANLY below that rather
+        # than burn the tail of the budget on a doomed attempt pair
+        min_budget=900,
         timeout=big_timeout,
         run_if=(
             case == "3d"
